@@ -1,0 +1,228 @@
+"""SimModel / SimState — the data model of the TPU-native physics engine.
+
+Replaces the reference's PhysX scene + gymtorch-aliased GPU buffers
+(SURVEY.md §2.1: state tensor API, `acquire_*_tensor`).  On TPU the sim
+state simply *is* a JAX pytree; no bridge is needed.
+
+Design rules
+------------
+- **Topology is static** (python ints/tuples, not traced): body count,
+  parents, joint types, dof addressing.  XLA unrolls per-body loops.
+- **Parameters are array leaves** and may carry a leading env-batch axis for
+  domain randomization (per-env mass/friction/gains).  All dynamics code is
+  written with `...`-broadcasting so an unbatched `(nb,)` leaf and a batched
+  `(N, nb)` leaf both work without vmap plumbing.
+- **State is batched**: `q` is `(N, nq)`, `qd` is `(N, nv)`.
+
+Conventions match Isaac Gym for API fidelity:
+- quaternions are (x, y, z, w),
+- actor root state is 13 floats [pos3, quat4, linvel3, angvel3] (world frame),
+- DOF state is [pos, vel] per 1-DoF joint (ref: tasks/anymal.py:110-126).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# Joint types (static ints)
+JT_FREE = 0       # 6-DoF floating root: q = [pos3, quat4], qd = [ang3, lin3] body frame
+JT_REVOLUTE = 1   # 1-DoF hinge
+JT_PRISMATIC = 2  # 1-DoF slider
+JT_FIXED = 3      # 0-DoF weld
+
+# DOF drive modes (mirror gymapi.DOF_MODE_*; ref: tasks/cartpole.py:110-113)
+DRIVE_NONE = 0
+DRIVE_POS = 1
+DRIVE_VEL = 2
+DRIVE_EFFORT = 3
+
+
+@struct.dataclass
+class SimModel:
+    """Static articulated model (a forest of kinematic trees per env).
+
+    Built host-side by the URDF/MJCF loaders (replaces `gym.load_asset`,
+    ref: tasks/ant.py:154-160).  One SimModel describes the scene replicated
+    across all envs; DR may batch individual leaves with a leading env axis.
+    """
+
+    # --- static topology (not traced) ---
+    nb: int = struct.field(pytree_node=False)            # number of bodies
+    nq: int = struct.field(pytree_node=False)            # generalized positions
+    nv: int = struct.field(pytree_node=False)            # generalized velocities
+    nd: int = struct.field(pytree_node=False)            # 1-DoF joint count (Isaac num_dof)
+    parent: Tuple[int, ...] = struct.field(pytree_node=False)   # parent body (-1 = world)
+    jtype: Tuple[int, ...] = struct.field(pytree_node=False)    # per-body joint type
+    q_adr: Tuple[int, ...] = struct.field(pytree_node=False)    # per-body q start index
+    v_adr: Tuple[int, ...] = struct.field(pytree_node=False)    # per-body qd start index
+    dof_body: Tuple[int, ...] = struct.field(pytree_node=False)  # per-dof owning body
+    dof_v_adr: Tuple[int, ...] = struct.field(pytree_node=False)  # per-dof index into qd
+    dof_q_adr: Tuple[int, ...] = struct.field(pytree_node=False)  # per-dof index into q
+    actor_root: Tuple[int, ...] = struct.field(pytree_node=False)  # root body per actor
+    body_names: Tuple[str, ...] = struct.field(pytree_node=False)
+    dof_names: Tuple[str, ...] = struct.field(pytree_node=False)
+    geom_body: Tuple[int, ...] = struct.field(pytree_node=False)  # contact sphere -> body
+
+    # --- joint placement (array leaves; broadcastable) ---
+    joint_pos: jnp.ndarray    # (nb, 3) joint frame origin in parent frame
+    joint_quat: jnp.ndarray   # (nb, 4) joint frame rotation in parent frame (xyzw)
+    joint_axis: jnp.ndarray   # (nb, 3) motion axis in child frame (1-DoF joints)
+
+    # --- body inertial params ---
+    body_mass: jnp.ndarray     # (nb,)
+    body_com: jnp.ndarray      # (nb, 3) COM offset in body frame
+    body_inertia: jnp.ndarray  # (nb, 3, 3) rotational inertia about COM, body frame
+
+    # --- per-DoF params (length nd) ---
+    dof_lower: jnp.ndarray
+    dof_upper: jnp.ndarray
+    dof_effort: jnp.ndarray      # torque/force limit
+    dof_maxvel: jnp.ndarray
+    dof_armature: jnp.ndarray
+    dof_friction: jnp.ndarray    # joint friction (viscous-regularized Coulomb)
+    dof_stiffness: jnp.ndarray   # PD drive Kp
+    dof_damping: jnp.ndarray     # PD drive Kd
+    dof_drive_mode: jnp.ndarray  # (nd,) int32 DRIVE_*
+    dof_has_limit: jnp.ndarray   # (nd,) bool
+
+    # --- contact geometry: spheres attached to bodies ---
+    geom_offset: jnp.ndarray   # (ng, 3) body-frame offset
+    geom_radius: jnp.ndarray   # (ng,)
+    geom_friction: jnp.ndarray  # (ng,) Coulomb mu
+
+    # --- world ---
+    gravity: jnp.ndarray       # (3,)
+
+    # --- contact solver params (soft penalty contact) ---
+    contact_stiffness: jnp.ndarray  # scalar
+    contact_damping: jnp.ndarray    # scalar
+    tangential_stiffness: jnp.ndarray  # scalar
+
+    @property
+    def ng(self) -> int:
+        return len(self.geom_body)
+
+    @property
+    def n_actors(self) -> int:
+        return len(self.actor_root)
+
+    def body_index(self, name: str) -> int:
+        return self.body_names.index(name)
+
+    def dof_index(self, name: str) -> int:
+        return self.dof_names.index(name)
+
+
+@struct.dataclass
+class SimState:
+    """Batched dynamic state + step-derived caches.
+
+    `q`/`qd` are the source of truth; the derived fields are refreshed by
+    `engine.forward`/`engine.step` (the functional analog of the reference's
+    `gym.refresh_*_tensor` calls, ref: tasks/anymal.py:257-261 — here they are
+    always consistent after a step, eliminating the refresh-ordering hazard
+    documented in SURVEY.md §5.2).
+
+    Layouts (Isaac parity):
+    - body_pos/quat: body frame origin pose in env-local world frame
+    - body_linvel: world-frame velocity of the body frame origin
+    - body_angvel: world-frame angular velocity
+    - contact_force: (N, nb, 3) net contact force per body, world frame
+      (ref: acquire_net_contact_force_tensor)
+    """
+
+    q: jnp.ndarray            # (N, nq)
+    qd: jnp.ndarray           # (N, nv)
+    body_pos: jnp.ndarray     # (N, nb, 3)
+    body_quat: jnp.ndarray    # (N, nb, 4)
+    body_linvel: jnp.ndarray  # (N, nb, 3)
+    body_angvel: jnp.ndarray  # (N, nb, 3)
+    contact_force: jnp.ndarray  # (N, nb, 3)
+    dof_force: jnp.ndarray    # (N, nd) total applied joint force (ref: acquire_dof_force_tensor)
+
+    @property
+    def N(self) -> int:
+        return self.q.shape[0]
+
+
+def make_zero_state(model: SimModel, n_envs: int, dtype=jnp.float32) -> SimState:
+    """Allocate an all-zero state with identity quaternions."""
+    q = jnp.zeros((n_envs, model.nq), dtype)
+    # identity quats for free roots
+    for b in range(model.nb):
+        if model.jtype[b] == JT_FREE:
+            q = q.at[:, model.q_adr[b] + 6].set(1.0)  # w component of xyzw at pos3+quat4
+    return SimState(
+        q=q,
+        qd=jnp.zeros((n_envs, model.nv), dtype),
+        body_pos=jnp.zeros((n_envs, model.nb, 3), dtype),
+        body_quat=jnp.zeros((n_envs, model.nb, 4), dtype).at[..., 3].set(1.0),
+        body_linvel=jnp.zeros((n_envs, model.nb, 3), dtype),
+        body_angvel=jnp.zeros((n_envs, model.nb, 3), dtype),
+        contact_force=jnp.zeros((n_envs, model.nb, 3), dtype),
+        dof_force=jnp.zeros((n_envs, model.nd), dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isaac-parity state views (ref SURVEY.md §2.1 state tensor API)
+# ---------------------------------------------------------------------------
+
+
+def dof_pos(model: SimModel, state: SimState) -> jnp.ndarray:
+    """(N, nd) DOF positions — gather of q at static indices."""
+    idx = jnp.array(model.dof_q_adr, dtype=jnp.int32)
+    return state.q[..., idx]
+
+
+def dof_vel(model: SimModel, state: SimState) -> jnp.ndarray:
+    """(N, nd) DOF velocities."""
+    idx = jnp.array(model.dof_v_adr, dtype=jnp.int32)
+    return state.qd[..., idx]
+
+
+def set_dof_state(model: SimModel, state: SimState, pos: jnp.ndarray, vel: jnp.ndarray) -> SimState:
+    """Functional write of all DOF positions/velocities (ref: set_dof_state_tensor)."""
+    qi = jnp.array(model.dof_q_adr, dtype=jnp.int32)
+    vi = jnp.array(model.dof_v_adr, dtype=jnp.int32)
+    return state.replace(q=state.q.at[..., qi].set(pos), qd=state.qd.at[..., vi].set(vel))
+
+
+def root_state(model: SimModel, state: SimState) -> jnp.ndarray:
+    """(N, n_actors, 13) actor root states [pos3, quat4, linvel3, angvel3].
+
+    World-frame velocities, matching the reference's root state tensor
+    (ref: tasks/anymal.py:110-126).
+    """
+    roots = list(model.actor_root)
+    pos = state.body_pos[..., roots, :]
+    quat = state.body_quat[..., roots, :]
+    linvel = state.body_linvel[..., roots, :]
+    angvel = state.body_angvel[..., roots, :]
+    return jnp.concatenate([pos, quat, linvel, angvel], axis=-1)
+
+
+def set_root_state(model: SimModel, state: SimState, rs: jnp.ndarray) -> SimState:
+    """Functional write of actor root states (ref: set_actor_root_state_tensor).
+
+    Only free-base actors are affected (fixed-base roots have no q entries).
+    rs: (N, n_actors, 13) or (N, 13) when there is a single actor.
+    """
+    if rs.ndim == state.q.ndim:  # (N, 13) single actor convenience
+        rs = rs[..., None, :]
+    q, qd = state.q, state.qd
+    for a, b in enumerate(model.actor_root):
+        if model.jtype[b] != JT_FREE:
+            continue
+        qa = model.q_adr[b]
+        va = model.v_adr[b]
+        q = q.at[..., qa : qa + 7].set(rs[..., a, 0:7])
+        # qd stores world-frame [ang3, lin3] for free joints
+        qd = qd.at[..., va : va + 3].set(rs[..., a, 10:13])
+        qd = qd.at[..., va + 3 : va + 6].set(rs[..., a, 7:10])
+    return state.replace(q=q, qd=qd)

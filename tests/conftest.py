@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated without TPU hardware via XLA's
+host-platform device-count override (standard JAX practice).  The image's
+sitecustomize pins JAX_PLATFORMS=axon (remote TPU tunnel) — tests must
+hard-override to CPU *before* jax initializes a backend, otherwise every
+compile goes through the remote-compile relay (~50 s per op).
+"""
+
+import os
+
+# Must run before any jax backend initialization (conftest is imported before
+# test modules, and nothing imports jax at collection time).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# sitecustomize's axon.register() already ran at interpreter start and did
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
+# var.  Counter-update before any backend is initialized (register binds
+# lazily, so no backend exists yet at conftest import time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
