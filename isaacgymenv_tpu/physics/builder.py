@@ -1,0 +1,220 @@
+"""Host-side model builder: accumulates bodies/joints/geoms -> SimModel.
+
+This is the construction path under the URDF/MJCF loaders (the equivalent of
+`gym.load_asset` + `create_actor` scene composition, ref: tasks/anymal.py:166-224)
+and of procedural test fixtures.  Pure numpy on the host; the finalized
+SimModel is a frozen JAX pytree.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from isaacgymenv_tpu.physics.types import (
+    DRIVE_NONE,
+    JT_FIXED,
+    JT_FREE,
+    JT_PRISMATIC,
+    JT_REVOLUTE,
+    SimModel,
+)
+
+
+def box_inertia(mass: float, sx: float, sy: float, sz: float) -> np.ndarray:
+    """Solid box rotational inertia about COM (full extents sx, sy, sz)."""
+    return np.diag(
+        [
+            mass / 12.0 * (sy * sy + sz * sz),
+            mass / 12.0 * (sx * sx + sz * sz),
+            mass / 12.0 * (sx * sx + sy * sy),
+        ]
+    ).astype(np.float64)
+
+
+def sphere_inertia(mass: float, r: float) -> np.ndarray:
+    i = 2.0 / 5.0 * mass * r * r
+    return np.diag([i, i, i]).astype(np.float64)
+
+
+def cylinder_inertia(mass: float, r: float, length: float, axis: int = 2) -> np.ndarray:
+    ia = 0.5 * mass * r * r
+    ip = mass / 12.0 * (3 * r * r + length * length)
+    vals = [ip, ip, ip]
+    vals[axis] = ia
+    return np.diag(vals).astype(np.float64)
+
+
+def capsule_inertia(mass: float, r: float, length: float, axis: int = 2) -> np.ndarray:
+    """Capsule (cylinder of `length` + hemispherical caps), uniform density."""
+    vc = math.pi * r * r * length
+    vs = 4.0 / 3.0 * math.pi * r ** 3
+    v = vc + vs
+    mc, ms = mass * vc / v, mass * vs / v
+    ia = 0.5 * mc * r * r + 0.4 * ms * r * r
+    ip = (
+        mc * (length * length / 12.0 + r * r / 4.0)
+        + ms * (0.4 * r * r + length * length / 4.0 + 3.0 / 8.0 * r * length)
+    )
+    vals = [ip, ip, ip]
+    vals[axis] = ia
+    return np.diag(vals).astype(np.float64)
+
+
+@dataclass
+class _Body:
+    name: str
+    parent: int
+    jtype: int
+    joint_pos: np.ndarray
+    joint_quat: np.ndarray
+    joint_axis: np.ndarray
+    joint_name: str = ""
+    mass: float = 0.0
+    com: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    inertia: np.ndarray = field(default_factory=lambda: np.zeros((3, 3)))
+    lower: float = -1e9
+    upper: float = 1e9
+    effort: float = 1e9
+    maxvel: float = 1e9
+    armature: float = 0.0
+    friction: float = 0.0
+    stiffness: float = 0.0
+    damping: float = 0.0
+    drive_mode: int = DRIVE_NONE
+    has_limit: bool = False
+
+
+class ModelBuilder:
+    def __init__(self):
+        self.bodies: List[_Body] = []
+        self.actor_roots: List[int] = []
+        self.geom_body: List[int] = []
+        self.geom_offset: List[np.ndarray] = []
+        self.geom_radius: List[float] = []
+        self.geom_friction: List[float] = []
+        self.gravity = np.array([0.0, 0.0, -9.81])
+        self.contact_stiffness = 1.0e4
+        self.contact_damping = 1.0e3
+        self.tangential_stiffness = 1.0e3
+
+    # -- construction ------------------------------------------------------
+    def add_body(
+        self,
+        name: str,
+        parent: int,
+        jtype: int,
+        joint_pos=(0, 0, 0),
+        joint_quat=(0, 0, 0, 1),
+        joint_axis=(0, 0, 1),
+        joint_name: str = "",
+        mass: float = 0.0,
+        com=(0, 0, 0),
+        inertia: Optional[np.ndarray] = None,
+        **dof_props,
+    ) -> int:
+        b = _Body(
+            name=name,
+            parent=parent,
+            jtype=jtype,
+            joint_pos=np.asarray(joint_pos, np.float64),
+            joint_quat=np.asarray(joint_quat, np.float64),
+            joint_axis=np.asarray(joint_axis, np.float64),
+            joint_name=joint_name or f"{name}_joint",
+            mass=mass,
+            com=np.asarray(com, np.float64),
+            inertia=np.zeros((3, 3)) if inertia is None else np.asarray(inertia, np.float64),
+        )
+        for k, v in dof_props.items():
+            setattr(b, k, v)
+        idx = len(self.bodies)
+        self.bodies.append(b)
+        if parent < 0:
+            self.actor_roots.append(idx)
+        return idx
+
+    def add_geom_sphere(self, body: int, offset, radius: float, friction: float = 1.0):
+        self.geom_body.append(body)
+        self.geom_offset.append(np.asarray(offset, np.float64))
+        self.geom_radius.append(float(radius))
+        self.geom_friction.append(float(friction))
+
+    # -- finalize ----------------------------------------------------------
+    def finalize(self, dtype=jnp.float32) -> SimModel:
+        nb = len(self.bodies)
+        parent, jtype, q_adr, v_adr = [], [], [], []
+        dof_body, dof_v_adr, dof_q_adr, dof_names = [], [], [], []
+        nq = nv = 0
+        for i, b in enumerate(self.bodies):
+            assert b.parent < i, "bodies must be added parents-first"
+            parent.append(b.parent)
+            jtype.append(b.jtype)
+            q_adr.append(nq)
+            v_adr.append(nv)
+            if b.jtype == JT_FREE:
+                nq += 7
+                nv += 6
+            elif b.jtype in (JT_REVOLUTE, JT_PRISMATIC):
+                dof_body.append(i)
+                dof_q_adr.append(nq)
+                dof_v_adr.append(nv)
+                dof_names.append(b.joint_name)
+                nq += 1
+                nv += 1
+        nd = len(dof_body)
+
+        def darr(attr):
+            return jnp.array([getattr(self.bodies[b], attr) for b in dof_body], dtype)
+
+        ng = len(self.geom_body)
+        model = SimModel(
+            nb=nb,
+            nq=nq,
+            nv=nv,
+            nd=nd,
+            parent=tuple(parent),
+            jtype=tuple(jtype),
+            q_adr=tuple(q_adr),
+            v_adr=tuple(v_adr),
+            dof_body=tuple(dof_body),
+            dof_v_adr=tuple(dof_v_adr),
+            dof_q_adr=tuple(dof_q_adr),
+            actor_root=tuple(self.actor_roots),
+            body_names=tuple(b.name for b in self.bodies),
+            dof_names=tuple(dof_names),
+            geom_body=tuple(self.geom_body),
+            joint_pos=jnp.array(np.stack([b.joint_pos for b in self.bodies]), dtype),
+            joint_quat=jnp.array(np.stack([b.joint_quat for b in self.bodies]), dtype),
+            joint_axis=jnp.array(np.stack([b.joint_axis for b in self.bodies]), dtype),
+            body_mass=jnp.array([b.mass for b in self.bodies], dtype),
+            body_com=jnp.array(np.stack([b.com for b in self.bodies]), dtype),
+            body_inertia=jnp.array(np.stack([b.inertia for b in self.bodies]), dtype),
+            dof_lower=darr("lower"),
+            dof_upper=darr("upper"),
+            dof_effort=darr("effort"),
+            dof_maxvel=darr("maxvel"),
+            dof_armature=darr("armature"),
+            dof_friction=darr("friction"),
+            dof_stiffness=darr("stiffness"),
+            dof_damping=darr("damping"),
+            dof_drive_mode=jnp.array(
+                [self.bodies[b].drive_mode for b in dof_body], jnp.int32
+            ),
+            dof_has_limit=jnp.array(
+                [self.bodies[b].has_limit for b in dof_body], bool
+            ),
+            geom_offset=jnp.array(
+                np.stack(self.geom_offset) if ng else np.zeros((0, 3)), dtype
+            ),
+            geom_radius=jnp.array(self.geom_radius, dtype),
+            geom_friction=jnp.array(self.geom_friction, dtype),
+            gravity=jnp.array(self.gravity, dtype),
+            contact_stiffness=jnp.array(self.contact_stiffness, dtype),
+            contact_damping=jnp.array(self.contact_damping, dtype),
+            tangential_stiffness=jnp.array(self.tangential_stiffness, dtype),
+        )
+        return model

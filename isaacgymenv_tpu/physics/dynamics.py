@@ -1,0 +1,179 @@
+"""Batched articulated rigid-body dynamics: CRBA mass matrix, RNEA bias,
+forward dynamics via Cholesky solve.
+
+TPU-native replacement of the reference's PhysX GPU articulation pipeline
+(SURVEY.md §2.1 row 1).  The CRBA route (vs ABA) is chosen deliberately: the
+joint-space mass matrix and point Jacobians are first-class citizens because
+the OSC tasks consume them directly (ref: tasks/useful_hound.py:448-455,
+tasks/franka_cube_stack.py — `acquire_jacobian_tensor` /
+`acquire_mass_matrix_tensor`).
+
+Everything broadcasts over leading batch dims; per-body loops unroll at trace
+time (nb <= ~25).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from isaacgymenv_tpu.physics import spatial
+from isaacgymenv_tpu.physics.kinematics import Kin
+from isaacgymenv_tpu.physics.types import JT_FIXED, JT_FREE, SimModel
+
+
+def _ndof(model: SimModel, i: int) -> int:
+    jt = model.jtype[i]
+    if jt == JT_FREE:
+        return 6
+    if jt == JT_FIXED:
+        return 0
+    return 1
+
+
+def body_spatial_inertias(model: SimModel, batch_shape, dtype):
+    """Per-body 6x6 spatial inertia in the body frame; list of (..., 6, 6)."""
+    out = []
+    for i in range(model.nb):
+        I6 = spatial.spatial_inertia(
+            jnp.broadcast_to(model.body_mass[..., i], batch_shape).astype(dtype),
+            jnp.broadcast_to(model.body_com[..., i, :], batch_shape + (3,)).astype(dtype),
+            jnp.broadcast_to(model.body_inertia[..., i, :, :], batch_shape + (3, 3)).astype(dtype),
+        )
+        out.append(I6)
+    return out
+
+
+def crba(model: SimModel, kin: Kin, inertias: list) -> jnp.ndarray:
+    """Composite-rigid-body mass matrix, (..., nv, nv)."""
+    batch = kin.p_w[0].shape[:-1]
+    dtype = kin.p_w[0].dtype
+    nv = model.nv
+    Ic = list(inertias)
+
+    # accumulate composite inertias up the tree
+    for i in reversed(range(model.nb)):
+        par = model.parent[i]
+        if par >= 0:
+            Ic[par] = Ic[par] + spatial.inertia_to_parent(kin.R_l[i], kin.p_l[i], Ic[i])
+
+    M = jnp.zeros(batch + (nv, nv), dtype)
+    for i in range(model.nb):
+        ni = _ndof(model, i)
+        if ni == 0:
+            continue
+        vi = model.v_adr[i]
+        S_i = kin.S[i]  # (..., 6, ni)
+        F = Ic[i] @ S_i  # (..., 6, ni)
+        block = jnp.swapaxes(S_i, -1, -2) @ F  # (..., ni, ni)
+        M = M.at[..., vi : vi + ni, vi : vi + ni].set(block)
+        # walk toward the root, transforming F into ancestor frames
+        j = i
+        while model.parent[j] >= 0:
+            F = jnp.einsum(
+                "...ab,...bn->...an", spatial.xform_frc_matrix(kin.R_l[j], kin.p_l[j]), F
+            )
+            j = model.parent[j]
+            nj = _ndof(model, j)
+            if nj == 0:
+                continue
+            vj = model.v_adr[j]
+            blk = jnp.swapaxes(F, -1, -2) @ kin.S[j]  # (..., ni, nj)
+            M = M.at[..., vi : vi + ni, vj : vj + nj].set(blk)
+            M = M.at[..., vj : vj + nj, vi : vi + ni].set(jnp.swapaxes(blk, -1, -2))
+
+    # joint armature on the diagonal (ref: asset dof_props 'armature')
+    if model.nd > 0:
+        vi = jnp.array(model.dof_v_adr, dtype=jnp.int32)
+        arm = jnp.broadcast_to(model.dof_armature, batch + (model.nd,)).astype(dtype)
+        M = M.at[..., vi, vi].add(arm)
+    return M
+
+
+def rnea_bias(
+    model: SimModel,
+    kin: Kin,
+    inertias: list,
+    f_ext_world: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Bias force C(q, qd) (..., nv): Coriolis/centrifugal + gravity - external.
+
+    f_ext_world: (..., nb, 6) spatial force [n, f] applied to each body,
+    expressed in WORLD axes about the body-frame origin (or None).
+    """
+    batch = kin.p_w[0].shape[:-1]
+    dtype = kin.p_w[0].dtype
+    g = model.gravity.astype(dtype)
+
+    # gravity trick: give every root's parent frame acceleration -g
+    a_base_world = jnp.concatenate([jnp.zeros_like(g), -g], axis=-1)
+    a_base_world = jnp.broadcast_to(a_base_world, batch + (6,))
+
+    a, f = [], []
+    for i in range(model.nb):
+        par = model.parent[i]
+        jt = model.jtype[i]
+        va = model.v_adr[i]
+        if par < 0:
+            a_par = spatial.mot_to_child(kin.R_w[i], kin.p_w[i], a_base_world)
+        else:
+            a_par = spatial.mot_to_child(kin.R_l[i], kin.p_l[i], a[par])
+        # qdd = 0: a_i = a_par + v_i x (S_i qd_i)
+        a_i = a_par + spatial.crm(kin.v[i], _joint_velocity(model, kin, i))
+        bias = spatial.crf(kin.v[i], jnp.einsum("...ab,...b->...a", inertias[i], kin.v[i]))
+        f_i = jnp.einsum("...ab,...b->...a", inertias[i], a_i) + bias
+        if f_ext_world is not None:
+            # world->body: rotate moment & force, shift to body origin (already about origin)
+            fe = f_ext_world[..., i, :]
+            n_b = jnp.einsum("...ji,...j->...i", kin.R_w[i], fe[..., :3])
+            f_b = jnp.einsum("...ji,...j->...i", kin.R_w[i], fe[..., 3:])
+            f_i = f_i - jnp.concatenate([n_b, f_b], axis=-1)
+        a.append(a_i)
+        f.append(f_i)
+
+    C = jnp.zeros(batch + (model.nv,), dtype)
+    for i in reversed(range(model.nb)):
+        ni = _ndof(model, i)
+        if ni > 0:
+            vi = model.v_adr[i]
+            tau_i = jnp.einsum("...an,...a->...n", kin.S[i], f[i])
+            C = C.at[..., vi : vi + ni].set(tau_i)
+        par = model.parent[i]
+        if par >= 0:
+            f[par] = f[par] + spatial.frc_to_parent(kin.R_l[i], kin.p_l[i], f[i])
+    return C
+
+
+def _joint_velocity(model: SimModel, kin: Kin, i: int) -> jnp.ndarray:
+    """S_i * qd_i in the child frame (velocity across joint i)."""
+    jt = model.jtype[i]
+    par = model.parent[i]
+    if par < 0:
+        return kin.v[i] if jt == JT_FREE else jnp.zeros_like(kin.v[i])
+    v_from_parent = spatial.mot_to_child(kin.R_l[i], kin.p_l[i], kin.v[par])
+    return kin.v[i] - v_from_parent
+
+
+def forward_dynamics(
+    model: SimModel,
+    kin: Kin,
+    tau: jnp.ndarray,
+    f_ext_world: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """qdd = M^{-1} (tau - C), batched SPD Cholesky solve. tau: (..., nv)."""
+    batch = tau.shape[:-1]
+    inertias = body_spatial_inertias(model, batch, tau.dtype)
+    M = crba(model, kin, inertias)
+    C = rnea_bias(model, kin, inertias, f_ext_world)
+    rhs = (tau - C)[..., None]
+    L = jnp.linalg.cholesky(M)
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    qdd = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+    return qdd[..., 0]
+
+
+def mass_matrix(model: SimModel, kin: Kin) -> jnp.ndarray:
+    """Public M(q) accessor for OSC controllers (ref: acquire_mass_matrix_tensor)."""
+    batch = kin.p_w[0].shape[:-1]
+    inertias = body_spatial_inertias(model, batch, kin.p_w[0].dtype)
+    return crba(model, kin, inertias)

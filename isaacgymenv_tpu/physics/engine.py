@@ -1,0 +1,222 @@
+"""The simulation step: actuation -> contacts -> forward dynamics -> integrate.
+
+Functional equivalent of the reference hot loop
+`gym.simulate(sim)` × substeps (ref: tasks/base/vec_task.py:379-382), as one
+pure function `step(model, terrain, state, ctrl) -> state` that jits into a
+single fused XLA program over the env batch.
+
+Stability notes (TPU-first design):
+- Joint drive damping and joint friction are integrated *implicitly*
+  (dt·diag(d) added to the mass matrix) so PhysX-scale PD gains
+  (e.g. Anymal Kp=85/Kd=2, ref: tasks/anymal.py:199-203) are stable at
+  explicit-integrator substep sizes.
+- Contacts are compliant penalty springs (physics/contact.py).
+- Semi-implicit Euler: qd first, then q with the new qd.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from isaacgymenv_tpu.ops import maths
+from isaacgymenv_tpu.physics import contact as contact_mod
+from isaacgymenv_tpu.physics import dynamics, kinematics
+from isaacgymenv_tpu.physics.types import (
+    DRIVE_EFFORT,
+    DRIVE_NONE,
+    DRIVE_POS,
+    DRIVE_VEL,
+    JT_FREE,
+    SimModel,
+    SimState,
+)
+
+
+@struct.dataclass
+class Control:
+    """Per-step actuation inputs (held constant across substeps, matching
+    PhysX drive-target semantics; ref: set_dof_position_target_tensor,
+    set_dof_actuation_force_tensor).
+
+    All arrays broadcast against (N, nd); `body_wrench` is (N, nb, 6) world
+    [moment, force] for `apply_rigid_body_force_tensors` equivalents
+    (quadcopter/ingenuity thrust, push randomization).
+    """
+
+    pos_target: jnp.ndarray
+    vel_target: jnp.ndarray
+    effort: jnp.ndarray
+    body_wrench: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def zero(cls, model: SimModel, n_envs: int, dtype=jnp.float32) -> "Control":
+        z = jnp.zeros((n_envs, model.nd), dtype)
+        return cls(pos_target=z, vel_target=z, effort=z, body_wrench=None)
+
+
+# joint-limit penalty spring/damper (soft limits; PhysX enforces via solver)
+_LIMIT_STIFFNESS = 4000.0
+_LIMIT_DAMPING = 40.0
+# regularization velocity for Coulomb joint friction
+_FRICTION_VEL_EPS = 0.05
+
+
+def _dof_arrays(model: SimModel, state: SimState):
+    qi = jnp.array(model.dof_q_adr, dtype=jnp.int32)
+    vi = jnp.array(model.dof_v_adr, dtype=jnp.int32)
+    return state.q[..., qi], state.qd[..., vi], qi, vi
+
+
+def actuation_force(model: SimModel, dof_pos, dof_vel, ctrl: Control):
+    """Applied joint force per drive mode, clamped to effort limits."""
+    mode = model.dof_drive_mode
+    kp = model.dof_stiffness
+    kd = model.dof_damping
+    pd_pos = kp * (ctrl.pos_target - dof_pos) - kd * dof_vel
+    pd_vel = kd * (ctrl.vel_target - dof_vel)
+    tau = jnp.where(mode == DRIVE_POS, pd_pos, 0.0)
+    tau = jnp.where(mode == DRIVE_VEL, pd_vel, tau)
+    tau = jnp.where(mode == DRIVE_EFFORT, ctrl.effort, tau)
+    return jnp.clip(tau, -model.dof_effort, model.dof_effort)
+
+
+def passive_force(model: SimModel, dof_pos, dof_vel):
+    """Soft joint-limit springs + regularized Coulomb joint friction."""
+    below = jnp.minimum(dof_pos - model.dof_lower, 0.0)
+    above = jnp.maximum(dof_pos - model.dof_upper, 0.0)
+    has_limit = model.dof_has_limit
+    tau_lim = jnp.where(
+        has_limit,
+        -_LIMIT_STIFFNESS * (below + above)
+        - _LIMIT_DAMPING * dof_vel * ((below < 0.0) | (above > 0.0)),
+        0.0,
+    )
+    tau_fric = -model.dof_friction * jnp.tanh(dof_vel / _FRICTION_VEL_EPS)
+    return tau_lim + tau_fric
+
+
+def _implicit_damping(model: SimModel) -> jnp.ndarray:
+    """Per-dof damping handled implicitly in the mass matrix (see module doc)."""
+    mode = model.dof_drive_mode
+    drive_kd = jnp.where((mode == DRIVE_POS) | (mode == DRIVE_VEL), model.dof_damping, 0.0)
+    return drive_kd
+
+
+def _integrate(model: SimModel, q, qd_new, dt):
+    """Semi-implicit Euler position update (free joints via quat exp map)."""
+    q_new = q
+    for b in range(model.nb):
+        if model.jtype[b] != JT_FREE:
+            continue
+        qa, va = model.q_adr[b], model.v_adr[b]
+        quat = q[..., qa + 3 : qa + 7]
+        omega_b = qd_new[..., va : va + 3]
+        v_b = qd_new[..., va + 3 : va + 6]
+        omega_w = maths.quat_rotate(quat, omega_b)
+        v_w = maths.quat_rotate(quat, v_b)
+        q_new = q_new.at[..., qa : qa + 3].add(v_w * dt)
+        q_new = q_new.at[..., qa + 3 : qa + 7].set(maths.quat_integrate(quat, omega_w, dt))
+    if model.nd > 0:
+        qi = jnp.array(model.dof_q_adr, dtype=jnp.int32)
+        vi = jnp.array(model.dof_v_adr, dtype=jnp.int32)
+        q_new = q_new.at[..., qi].add(qd_new[..., vi] * dt)
+    return q_new
+
+
+def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float) -> SimState:
+    kin = kinematics.fk(model, state.q, state.qd)
+    ang_w, lin_w = kinematics.world_velocities(model, kin)
+    body_pos_w = jnp.stack(kin.p_w, axis=-2)
+    body_ang_w = jnp.stack(ang_w, axis=-2)
+    body_lin_w = jnp.stack(lin_w, axis=-2)
+
+    # --- contacts ---
+    gb = list(model.geom_body)
+    R_w = jnp.stack(kin.R_w, axis=-3)  # (..., nb, 3, 3)
+    off_w = jnp.einsum("...nij,...nj->...ni", R_w[..., gb, :, :], jnp.broadcast_to(
+        model.geom_offset, body_pos_w.shape[:-2] + (model.ng, 3)))
+    geom_pos_w = body_pos_w[..., gb, :] + off_w
+    geom_vel_w = body_lin_w[..., gb, :] + jnp.cross(body_ang_w[..., gb, :], off_w)
+    f_ext, body_cf = contact_mod.contact_forces(model, terrain, geom_pos_w, geom_vel_w, body_pos_w)
+
+    if ctrl.body_wrench is not None:
+        f_ext = f_ext + ctrl.body_wrench
+
+    # --- joint forces ---
+    dof_pos, dof_vel, qi, vi = _dof_arrays(model, state)
+    tau_applied = actuation_force(model, dof_pos, dof_vel, ctrl)
+    tau_passive = passive_force(model, dof_pos, dof_vel)
+    tau = jnp.zeros_like(state.qd).at[..., vi].set(tau_applied + tau_passive)
+
+    # --- forward dynamics with implicit drive damping ---
+    batch = state.q.shape[:-1]
+    inertias = dynamics.body_spatial_inertias(model, batch, state.q.dtype)
+    M = dynamics.crba(model, kin, inertias)
+    if model.nd > 0:
+        d_imp = jnp.broadcast_to(_implicit_damping(model) * dt, batch + (model.nd,))
+        M = M.at[..., vi, vi].add(d_imp)
+    C = dynamics.rnea_bias(model, kin, inertias, f_ext)
+    L = jnp.linalg.cholesky(M)
+    y = jax.scipy.linalg.solve_triangular(L, (tau - C)[..., None], lower=True)
+    qdd = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)[..., 0]
+
+    # --- integrate ---
+    qd_new = state.qd + qdd * dt
+    if model.nd > 0:
+        dv = jnp.clip(qd_new[..., vi], -model.dof_maxvel, model.dof_maxvel)
+        qd_new = qd_new.at[..., vi].set(dv)
+    q_new = _integrate(model, state.q, qd_new, dt)
+
+    return state.replace(
+        q=q_new,
+        qd=qd_new,
+        body_pos=body_pos_w,
+        body_quat=jnp.stack([maths.rotmat_to_quat(R) for R in kin.R_w], axis=-2),
+        body_linvel=body_lin_w,
+        body_angvel=body_ang_w,
+        contact_force=body_cf,
+        dof_force=tau_applied + tau_passive,
+    )
+
+
+def step(
+    model: SimModel,
+    terrain,
+    state: SimState,
+    ctrl: Control,
+    dt: float,
+    substeps: int = 2,
+) -> SimState:
+    """Advance the sim by one control period: `substeps` × (dt / substeps).
+
+    Equivalent of `control_freq_inv × gym.simulate` with PhysX substeps
+    (ref: vec_task.py:379-382 + sim params dt/substeps, cfg/task/*.yaml).
+    Derived caches (body poses/vels/contact forces) reflect the *last*
+    substep's FK — refreshed once more against q_new by `forward` if exact
+    post-step poses are required; envs read them as the post-step state,
+    matching the reference where refresh happens next step.
+    """
+    h = dt / substeps
+    for _ in range(substeps):
+        state = _substep(model, terrain, state, ctrl, h)
+    return forward(model, terrain, state)
+
+
+def forward(model: SimModel, terrain, state: SimState) -> SimState:
+    """Refresh derived caches from (q, qd) without advancing time.
+
+    The functional analog of the reference's `gym.refresh_*_tensor` family
+    plus `gym.fetch_results` (ref: tasks/anymal.py:257-261).
+    """
+    kin = kinematics.fk(model, state.q, state.qd)
+    ang_w, lin_w = kinematics.world_velocities(model, kin)
+    return state.replace(
+        body_pos=jnp.stack(kin.p_w, axis=-2),
+        body_quat=jnp.stack([maths.rotmat_to_quat(R) for R in kin.R_w], axis=-2),
+        body_linvel=jnp.stack(lin_w, axis=-2),
+        body_angvel=jnp.stack(ang_w, axis=-2),
+    )

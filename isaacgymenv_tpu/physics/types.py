@@ -211,8 +211,14 @@ def set_root_state(model: SimModel, state: SimState, rs: jnp.ndarray) -> SimStat
     """Functional write of actor root states (ref: set_actor_root_state_tensor).
 
     Only free-base actors are affected (fixed-base roots have no q entries).
-    rs: (N, n_actors, 13) or (N, 13) when there is a single actor.
+    rs: (N, n_actors, 13) or (N, 13) when there is a single actor; velocities
+    are world-frame per Isaac layout and converted to the internal body-frame
+    spatial velocity [omega_b, v_b] stored in qd for free joints.
+
+    NOTE: call `engine.forward` afterwards to refresh the derived caches.
     """
+    from isaacgymenv_tpu.ops import maths
+
     if rs.ndim == state.q.ndim:  # (N, 13) single actor convenience
         rs = rs[..., None, :]
     q, qd = state.q, state.qd
@@ -221,8 +227,11 @@ def set_root_state(model: SimModel, state: SimState, rs: jnp.ndarray) -> SimStat
             continue
         qa = model.q_adr[b]
         va = model.v_adr[b]
-        q = q.at[..., qa : qa + 7].set(rs[..., a, 0:7])
-        # qd stores world-frame [ang3, lin3] for free joints
-        qd = qd.at[..., va : va + 3].set(rs[..., a, 10:13])
-        qd = qd.at[..., va + 3 : va + 6].set(rs[..., a, 7:10])
+        quat = maths.quat_unit(rs[..., a, 3:7])
+        q = q.at[..., qa : qa + 3].set(rs[..., a, 0:3])
+        q = q.at[..., qa + 3 : qa + 7].set(quat)
+        omega_b = maths.quat_rotate_inverse(quat, rs[..., a, 10:13])
+        v_b = maths.quat_rotate_inverse(quat, rs[..., a, 7:10])
+        qd = qd.at[..., va : va + 3].set(omega_b)
+        qd = qd.at[..., va + 3 : va + 6].set(v_b)
     return state.replace(q=q, qd=qd)
