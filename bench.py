@@ -1,0 +1,77 @@
+"""Benchmark: env-steps/s on the flagship task, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the Isaac Gym paper (arXiv:2108.10470, cited by the reference
+README:251-258) reports ~200-300k env-steps/s for Anymal-class quadruped
+locomotion on 1x A100; BASELINE.md's north star is >=1M steps/s aggregate on
+v5e-16 (~62.5k/chip).  vs_baseline is measured against 200k steps/s/GPU.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_STEPS_PER_SEC = 200_000.0  # reference-class per-accelerator throughput
+FLAGSHIP = "Anymal"
+NUM_ENVS = 4096
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from isaacgymenv_tpu.envs import registry
+    from isaacgymenv_tpu.utils.config import load_task_config
+
+    try:
+        cls = registry.get_task(FLAGSHIP)
+        cfg = load_task_config(FLAGSHIP, num_envs=NUM_ENVS)
+        task_name = FLAGSHIP
+    except (KeyError, FileNotFoundError):
+        cls = registry.get_task("Cartpole")
+        cfg = load_task_config("Cartpole", num_envs=NUM_ENVS)
+        task_name = "Cartpole"
+
+    env = cls(cfg)
+    key = jax.random.PRNGKey(0)
+    state = env.initial_state(key)
+
+    @jax.jit
+    def rollout(state, actions):
+        def body(s, _):
+            s, obs, rew, done, extras = env.step(s, actions)
+            return s, rew
+
+        state, rews = jax.lax.scan(body, state, None, length=50)
+        return state, rews.sum()
+
+    actions = jnp.zeros((env.num_envs, env.num_actions))
+    # warmup + compile
+    state, _ = rollout(state, actions)
+    jax.block_until_ready(state.sim.q)
+
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        state, r = rollout(state, actions)
+    jax.block_until_ready(state.sim.q)
+    dt = time.perf_counter() - t0
+
+    steps = env.num_envs * 50 * iters
+    fps = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s ({task_name}, {env.num_envs} envs, 1 chip, fps_step)",
+                "value": round(fps, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(fps / BASELINE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Functional vectorized env runtime — the TPU-native `VecTask`.
+
+Reference contract being reproduced (SURVEY.md §3.3, vec_task.py:360-455):
+
+- `step(actions)` order: clip actions -> apply actuation -> simulate
+  decimation -> progress += 1 -> auto-reset envs flagged done LAST step ->
+  compute obs -> compute reward + NEW done flags -> timeout extras ->
+  clip obs.  The learner therefore sees terminal obs WITH done=1, and the
+  next step returns the first obs of the new episode — identical to the
+  reference's post_physics ordering (tasks/anymal.py:231-239).
+- `extras['time_outs']` = progress >= max_len-1 AND done
+  (vec_task.py:394-400) for value bootstrapping on truncation.
+- `reset()` re-initializes all envs and returns fresh obs (unlike the
+  reference's quirk of returning stale zeros, vec_task.py:426-431 — we fix
+  this knowingly; documented deviation).
+
+Everything is a pure function over `EnvState`; the stateful `VecEnv` shell
+at the bottom provides the reference's imperative API for interactive use.
+Training uses the pure API inside `lax.scan`.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from isaacgymenv_tpu.physics import engine
+from isaacgymenv_tpu.physics.types import SimModel, SimState
+
+
+@struct.dataclass
+class EnvState:
+    """Batched env-side state: sim + the reference's runtime buffers
+    (vec_task.py:301-324) in functional form."""
+
+    sim: SimState
+    progress: jnp.ndarray      # (N,) int32 steps since episode start
+    reset: jnp.ndarray         # (N,) bool — done flag produced by last step
+    rng: jax.Array             # single PRNG key, split per step
+    ts: Dict[str, jnp.ndarray]  # task-specific state (commands, curriculum, ...)
+
+
+class TaskEnv(abc.ABC):
+    """Base class for all tasks.  Subclasses implement the four hooks below
+    (the functional analog of pre_physics_step / post_physics_step /
+    reset_idx / compute_observations+reward, SURVEY.md §2.2 task pattern)."""
+
+    # populated by subclass __init__
+    model: SimModel
+    terrain: Any = None
+    num_obs: int
+    num_actions: int
+    num_states: int = 0
+
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        env_cfg = cfg["env"]
+        self.num_envs = int(env_cfg["numEnvs"])
+        self.max_episode_length = int(env_cfg.get("maxEpisodeLength", 500))
+        self.clip_obs = float(env_cfg.get("clipObservations", np.inf))
+        self.clip_actions = float(env_cfg.get("clipActions", np.inf))
+        sim_cfg = cfg.get("sim", {})
+        self.dt = float(sim_cfg.get("dt", 1.0 / 60.0))
+        self.substeps = int(sim_cfg.get("substeps", 2))
+        self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 1))
+        self.gravity = tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81)))
+
+    # ------------------------------------------------------------------ hooks
+    @abc.abstractmethod
+    def _reset_envs(self, state: EnvState, mask: jnp.ndarray, key: jax.Array) -> EnvState:
+        """Re-initialize envs where mask is True (functional reset_idx).
+
+        Must write sim q/qd (masked), zero progress, and refresh task state.
+        The engine caches are refreshed by the caller via `forward`.
+        """
+
+    @abc.abstractmethod
+    def _make_control(self, state: EnvState, actions: jnp.ndarray) -> engine.Control:
+        """Map clipped actions to actuation (pre_physics_step)."""
+
+    @abc.abstractmethod
+    def _observations(self, state: EnvState, actions: jnp.ndarray) -> jnp.ndarray:
+        """(N, num_obs) observation buffer."""
+
+    @abc.abstractmethod
+    def _reward_done(
+        self, state: EnvState, obs: jnp.ndarray, actions: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """(reward (N,), done (N,) bool, info dict of extra scalars)."""
+
+    def _states(self, state: EnvState, obs: jnp.ndarray) -> Optional[jnp.ndarray]:
+        """Privileged state for asymmetric actor-critic (None if unused)."""
+        return None
+
+    def _post_physics(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        """Optional extra task dynamics after sim step (e.g. pushes, curriculum)."""
+        return state
+
+    def _initial_ts(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+        """Initial task-specific state arrays."""
+        return {}
+
+    # ------------------------------------------------------------- pure API
+    def initial_state(self, key: jax.Array) -> EnvState:
+        from isaacgymenv_tpu.physics.types import make_zero_state
+
+        key, k_ts, k_reset = jax.random.split(key, 3)
+        sim = make_zero_state(self.model, self.num_envs)
+        state = EnvState(
+            sim=sim,
+            progress=jnp.zeros(self.num_envs, jnp.int32),
+            reset=jnp.zeros(self.num_envs, bool),
+            rng=key,
+            ts=self._initial_ts(k_ts),
+        )
+        state = self._reset_envs(state, jnp.ones(self.num_envs, bool), k_reset)
+        state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
+        return state
+
+    def step(
+        self, state: EnvState, actions: jnp.ndarray
+    ) -> Tuple[EnvState, Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict]:
+        """One env step (pure).  Returns (state', obs_dict, rew, done, extras)."""
+        actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
+
+        # physics rollout for one control period (decimation loop,
+        # ref: vec_task.py:379-382)
+        ctrl = self._make_control(state, actions)
+        sim = state.sim
+        for _ in range(self.control_freq_inv):
+            sim = engine.step(self.model, self.terrain, sim, ctrl, self.dt, self.substeps)
+        state = state.replace(sim=sim, progress=state.progress + 1)
+
+        state = self._post_physics(state, actions)
+
+        # auto-reset envs flagged done by the PREVIOUS step (ref ordering)
+        key, k_reset = jax.random.split(state.rng)
+        state = state.replace(rng=key)
+        state = self._reset_envs(state, state.reset, k_reset)
+        state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
+
+        obs = self._observations(state, actions)
+        rew, done, info = self._reward_done(state, obs, actions)
+
+        timeout = (state.progress >= self.max_episode_length - 1) & done
+        state = state.replace(reset=done)
+
+        obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
+        obs_dict = {"obs": obs}
+        states = self._states(state, obs)
+        if states is not None:
+            obs_dict["states"] = jnp.clip(states, -self.clip_obs, self.clip_obs)
+
+        extras = {"time_outs": timeout, **info}
+        return state, obs_dict, rew, done, extras
+
+    def observations(self, state: EnvState) -> Dict[str, jnp.ndarray]:
+        """Current obs without stepping (used by reset)."""
+        actions = jnp.zeros((self.num_envs, self.num_actions))
+        obs = jnp.clip(self._observations(state, actions), -self.clip_obs, self.clip_obs)
+        out = {"obs": obs}
+        states = self._states(state, obs)
+        if states is not None:
+            out["states"] = jnp.clip(states, -self.clip_obs, self.clip_obs)
+        return out
+
+    # -------------------------------------------------------- stateful shell
+    def as_vec_env(self, seed: int = 0) -> "VecEnv":
+        return VecEnv(self, seed)
+
+
+class VecEnv:
+    """Imperative wrapper with the reference's runtime API
+    (`env.reset() -> obs_dict`, `env.step(actions) -> (obs, rew, done, extras)`;
+    ref: README.md:39-52 + RLGPUEnv adapter, rlgames_utils.py:242-295)."""
+
+    def __init__(self, task: TaskEnv, seed: int = 0):
+        self.task = task
+        self._key = jax.random.PRNGKey(seed)
+        self._state: Optional[EnvState] = None
+        self._step_fn = jax.jit(task.step)
+
+    # -- reference-parity properties (Env ABC, vec_task.py:67-204)
+    @property
+    def num_envs(self):
+        return self.task.num_envs
+
+    @property
+    def num_obs(self):
+        return self.task.num_obs
+
+    @property
+    def num_acts(self):
+        return self.task.num_actions
+
+    @property
+    def num_actions(self):
+        return self.task.num_actions
+
+    @property
+    def num_states(self):
+        return self.task.num_states
+
+    @property
+    def observation_space(self):
+        from gymnasium import spaces
+
+        c = self.task.clip_obs
+        return spaces.Box(-c, c, (self.task.num_obs,))
+
+    @property
+    def action_space(self):
+        from gymnasium import spaces
+
+        c = self.task.clip_actions
+        return spaces.Box(-c, c, (self.task.num_actions,))
+
+    @property
+    def state_space(self):
+        from gymnasium import spaces
+
+        c = self.task.clip_obs
+        return spaces.Box(-c, c, (self.task.num_states,))
+
+    def reset(self):
+        self._key, k = jax.random.split(self._key)
+        self._state = self.task.initial_state(k)
+        return self.task.observations(self._state)
+
+    def step(self, actions):
+        if self._state is None:
+            self.reset()
+        self._state, obs, rew, done, extras = self._step_fn(self._state, actions)
+        return obs, rew, done, extras
+
+    @property
+    def state(self) -> EnvState:
+        return self._state

@@ -1,0 +1,79 @@
+"""Actor-critic networks (flax) matching the reference's rl_games builder.
+
+ref: cfg/train/*PPO.yaml `network:` blocks — shared MLP trunk
+(`separate: False`), ELU activations, continuous gaussian head with
+state-independent log-std (`fixed_sigma: True`, const init), linear mu/value
+heads.  LSTM variants (AnymalTerrainPPO_LSTM etc.) are a separate module.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_ACT = {
+    "elu": nn.elu,
+    "relu": nn.relu,
+    "tanh": nn.tanh,
+    "selu": nn.selu,
+    "swish": nn.swish,
+    "gelu": nn.gelu,
+    "None": lambda x: x,
+}
+
+
+class ActorCritic(nn.Module):
+    """Shared-trunk gaussian actor + value head."""
+
+    num_actions: int
+    units: Sequence[int] = (256, 128, 64)
+    activation: str = "elu"
+    separate: bool = False
+    sigma_init: float = 0.0
+    fixed_sigma: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray):
+        act = _ACT[self.activation]
+
+        def trunk(x, prefix):
+            for i, u in enumerate(self.units):
+                x = nn.Dense(u, name=f"{prefix}dense_{i}")(x)
+                x = act(x)
+            return x
+
+        h = trunk(obs, "a_")
+        mu = nn.Dense(self.num_actions, name="mu", kernel_init=nn.initializers.orthogonal(0.01))(h)
+        hv = trunk(obs, "c_") if self.separate else h
+        value = nn.Dense(1, name="value")(hv)[..., 0]
+
+        if self.fixed_sigma:
+            log_std = self.param(
+                "log_std", nn.initializers.constant(self.sigma_init), (self.num_actions,)
+            )
+            log_std = jnp.broadcast_to(log_std, mu.shape)
+        else:
+            log_std = nn.Dense(self.num_actions, name="sigma")(h)
+        return mu, log_std, value
+
+
+def gaussian_logp(mu, log_std, action):
+    """Diagonal gaussian log-density."""
+    var = jnp.exp(2.0 * log_std)
+    return jnp.sum(
+        -0.5 * ((action - mu) ** 2) / var - log_std - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1
+    )
+
+
+def gaussian_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e), axis=-1)
+
+
+def gaussian_kl(mu0, log_std0, mu1, log_std1):
+    """KL(old || new) for diagonal gaussians (rl_games adaptive-LR metric)."""
+    var0, var1 = jnp.exp(2 * log_std0), jnp.exp(2 * log_std1)
+    return jnp.sum(
+        log_std1 - log_std0 + (var0 + (mu0 - mu1) ** 2) / (2.0 * var1) - 0.5, axis=-1
+    )

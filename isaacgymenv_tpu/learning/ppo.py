@@ -1,0 +1,394 @@
+"""On-device PPO: rollout (lax.scan) + GAE + minibatch SGD in ONE jit.
+
+Replaces the reference's rl_games `A2CAgent.train` host loop (SURVEY.md §3.1
+hot loops 3-4) with a fully fused device program: env stepping, advantage
+computation and all mini-epoch updates execute without host round-trips;
+the host only reads back scalar metrics once per epoch.
+
+Config keys follow cfg/train/*PPO.yaml verbatim (gamma/tau/e_clip/
+horizon_length/minibatch_size/mini_epochs/kl_threshold/...); semantics match
+rl_games a2c_continuous: clipped surrogate + clipped value loss, fixed-sigma
+gaussian policy, running obs/value normalization, adaptive-KL LR schedule
+(ref: learning/common_agent.py:216-236, 406-428, 475-510).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from isaacgymenv_tpu.envs.base import EnvState, TaskEnv
+from isaacgymenv_tpu.learning import networks
+from isaacgymenv_tpu.learning.running_stats import RunningStats
+
+
+@struct.dataclass
+class PPOConfig:
+    gamma: float = 0.99
+    tau: float = 0.95                 # GAE lambda (rl_games calls it tau)
+    e_clip: float = 0.2
+    entropy_coef: float = 0.0
+    critic_coef: float = 4.0
+    bounds_loss_coef: float = 0.0001
+    grad_norm: float = 1.0
+    horizon_length: int = 16
+    minibatch_size: int = 8192
+    mini_epochs: int = 8
+    learning_rate: float = 3e-4
+    kl_threshold: float = 0.008
+    lr_schedule: str = struct.field(pytree_node=False, default="adaptive")
+    clip_value: bool = struct.field(pytree_node=False, default=True)
+    normalize_input: bool = struct.field(pytree_node=False, default=True)
+    normalize_value: bool = struct.field(pytree_node=False, default=True)
+    normalize_advantage: bool = struct.field(pytree_node=False, default=True)
+    value_bootstrap: bool = struct.field(pytree_node=False, default=False)
+    reward_scale: float = 1.0         # reward_shaper.scale_value
+    max_epochs: int = struct.field(pytree_node=False, default=100)
+
+    @classmethod
+    def from_train_cfg(cls, train_cfg: Dict[str, Any]) -> "PPOConfig":
+        c = train_cfg["params"]["config"]
+        return cls(
+            gamma=float(c.get("gamma", 0.99)),
+            tau=float(c.get("tau", 0.95)),
+            e_clip=float(c.get("e_clip", 0.2)),
+            entropy_coef=float(c.get("entropy_coef", 0.0)),
+            critic_coef=float(c.get("critic_coef", 4.0)),
+            bounds_loss_coef=float(c.get("bounds_loss_coef", 0.0) or 0.0),
+            grad_norm=float(c.get("grad_norm", 1.0)),
+            horizon_length=int(c.get("horizon_length", 16)),
+            minibatch_size=int(c.get("minibatch_size", 8192)),
+            mini_epochs=int(c.get("mini_epochs", 8)),
+            learning_rate=float(c.get("learning_rate", 3e-4)),
+            kl_threshold=float(c.get("kl_threshold", 0.008)),
+            lr_schedule=str(c.get("lr_schedule", "adaptive")),
+            clip_value=bool(c.get("clip_value", True)),
+            normalize_input=bool(c.get("normalize_input", True)),
+            normalize_value=bool(c.get("normalize_value", True)),
+            normalize_advantage=bool(c.get("normalize_advantage", True)),
+            value_bootstrap=bool(c.get("value_bootstrap", False)),
+            reward_scale=float(c.get("reward_shaper", {}).get("scale_value", 1.0)),
+            max_epochs=int(c.get("max_epochs", 100)),
+        )
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    obs_stats: RunningStats
+    value_stats: RunningStats
+    lr: jnp.ndarray
+    env_state: EnvState
+    last_obs: jnp.ndarray
+    key: jax.Array
+    epoch: jnp.ndarray
+    # episode bookkeeping for metrics (host-side reporting)
+    ep_return: jnp.ndarray   # (N,) running return of current episodes
+    ep_length: jnp.ndarray
+    mean_return: jnp.ndarray  # EMA of finished-episode returns
+    mean_length: jnp.ndarray
+
+
+class PPO:
+    """PPO learner bound to a TaskEnv."""
+
+    def __init__(self, env: TaskEnv, train_cfg: Dict[str, Any], axis_name: Optional[str] = None):
+        # axis_name: mesh axis for data-parallel training inside shard_map
+        # (gradients/statistics pmean'd over it; None = single shard)
+        self.axis_name = axis_name
+        self.env = env
+        p = train_cfg["params"]
+        net_cfg = p.get("network", {})
+        mlp = net_cfg.get("mlp", {})
+        space = net_cfg.get("space", {}).get("continuous", {})
+        self.cfg = PPOConfig.from_train_cfg(train_cfg)
+        self.network = networks.ActorCritic(
+            num_actions=env.num_actions,
+            units=tuple(mlp.get("units", [256, 128, 64])),
+            activation=mlp.get("activation", "elu"),
+            separate=bool(net_cfg.get("separate", False)),
+            sigma_init=float(space.get("sigma_init", 0.0) if not isinstance(space.get("sigma_init"), dict) else space.get("sigma_init", {}).get("val", 0.0)),
+            fixed_sigma=bool(space.get("fixed_sigma", True)),
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.cfg.grad_norm),
+            optax.inject_hyperparams(optax.adam)(learning_rate=self.cfg.learning_rate, eps=1e-8),
+        )
+        self._num_minibatches: Optional[int] = None
+
+    @property
+    def num_minibatches(self) -> int:
+        # validated lazily so inference-only use (test/player path) never
+        # trips the training batch-divisibility requirement
+        if self._num_minibatches is None:
+            n_steps = self.cfg.horizon_length * self.env.num_envs
+            assert n_steps % self.cfg.minibatch_size == 0, (
+                f"batch {n_steps} not divisible by minibatch {self.cfg.minibatch_size}"
+            )
+            self._num_minibatches = n_steps // self.cfg.minibatch_size
+        return self._num_minibatches
+
+    # ------------------------------------------------------------------
+    def init(self, seed: int) -> TrainState:
+        key = jax.random.PRNGKey(seed)
+        key, k_env, k_net = jax.random.split(key, 3)
+        env_state = self.env.initial_state(k_env)
+        obs = self.env.observations(env_state)["obs"]
+        params = self.network.init(k_net, obs[:1])
+        N = self.env.num_envs
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            obs_stats=RunningStats.create((self.env.num_obs,)),
+            value_stats=RunningStats.create(()),
+            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
+            env_state=env_state,
+            last_obs=obs,
+            key=key,
+            epoch=jnp.asarray(0, jnp.int32),
+            ep_return=jnp.zeros(N),
+            ep_length=jnp.zeros(N),
+            mean_return=jnp.asarray(0.0),
+            mean_length=jnp.asarray(0.0),
+        )
+
+    # ------------------------------------------------------------------
+    def _pmean(self, x):
+        return jax.lax.pmean(x, self.axis_name) if self.axis_name else x
+
+    def _norm_obs(self, stats: RunningStats, obs):
+        return stats.normalize(obs) if self.cfg.normalize_input else obs
+
+    def _rollout(self, ts: TrainState):
+        """lax.scan over horizon; returns batch dict of (H, N, ...)."""
+        cfg = self.cfg
+
+        def step_fn(carry, _):
+            env_state, obs, key, ep_ret, ep_len, m_ret, m_len = carry
+            key, k_act = jax.random.split(key)
+            n_obs = self._norm_obs(ts.obs_stats, obs)
+            mu, log_std, value_n = self.network.apply(ts.params, n_obs)
+            action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
+            logp = networks.gaussian_logp(mu, log_std, action)
+            value = ts.value_stats.denormalize(value_n) if cfg.normalize_value else value_n
+
+            env_state, obs_dict, rew_raw, done, extras = self.env.step(env_state, action)
+            rew = rew_raw * cfg.reward_scale
+            if cfg.value_bootstrap:
+                # ref: common_agent.py:278-310 termination-masked bootstrap on timeout
+                rew = rew + cfg.gamma * value * extras["time_outs"].astype(rew.dtype)
+
+            # episode stats (un-shaped reward like the reference logger)
+            ep_ret = ep_ret + rew_raw
+            ep_len = ep_len + 1.0
+            d = done.astype(jnp.float32)
+            n_done = jnp.maximum(d.sum(), 1.0)
+            m_ret = jnp.where(
+                d.sum() > 0, 0.99 * m_ret + 0.01 * (ep_ret * d).sum() / n_done, m_ret
+            )
+            m_len = jnp.where(
+                d.sum() > 0, 0.99 * m_len + 0.01 * (ep_len * d).sum() / n_done, m_len
+            )
+            ep_ret = ep_ret * (1.0 - d)
+            ep_len = ep_len * (1.0 - d)
+
+            out = dict(
+                obs=obs, action=action, logp=logp, value=value, reward=rew,
+                done=done, mu=mu, log_std=log_std,
+            )
+            return (env_state, obs_dict["obs"], key, ep_ret, ep_len, m_ret, m_len), out
+
+        carry0 = (ts.env_state, ts.last_obs, ts.key, ts.ep_return, ts.ep_length,
+                  ts.mean_return, ts.mean_length)
+        carry, batch = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon_length)
+        env_state, last_obs, key, ep_ret, ep_len, m_ret, m_len = carry
+        ts = ts.replace(
+            env_state=env_state, last_obs=last_obs, key=key,
+            ep_return=ep_ret, ep_length=ep_len,
+            mean_return=self._pmean(m_ret), mean_length=self._pmean(m_len),
+        )
+        return ts, batch
+
+    def _gae(self, ts: TrainState, batch):
+        cfg = self.cfg
+        n_last = self._norm_obs(ts.obs_stats, ts.last_obs)
+        _, _, v_last_n = self.network.apply(ts.params, n_last)
+        v_last = ts.value_stats.denormalize(v_last_n) if cfg.normalize_value else v_last_n
+
+        def scan_fn(carry, x):
+            adv_next, v_next = carry
+            not_done = 1.0 - x["done"].astype(jnp.float32)
+            delta = x["reward"] + cfg.gamma * v_next * not_done - x["value"]
+            adv = delta + cfg.gamma * cfg.tau * not_done * adv_next
+            return (adv, x["value"]), adv
+
+        (_, _), advs = jax.lax.scan(
+            scan_fn, (jnp.zeros_like(v_last), v_last), batch, reverse=True
+        )
+        returns = advs + batch["value"]
+        return advs, returns
+
+    def _update(self, ts: TrainState, batch, advs, returns):
+        cfg = self.cfg
+        # B is the LOCAL batch (horizon × local envs); under shard_map this is
+        # the per-device shard and all reductions below go through _pmean.
+        H, N = batch["reward"].shape[:2]
+        B = H * N
+
+        flat = {k: v.reshape((B,) + v.shape[2:]) for k, v in batch.items()}
+        flat["adv"] = advs.reshape(B)
+        flat["ret"] = returns.reshape(B)
+
+        # update normalizers from this rollout (globally merged moments)
+        obs_stats = (
+            ts.obs_stats.update(flat["obs"], self.axis_name)
+            if cfg.normalize_input
+            else ts.obs_stats
+        )
+        value_stats = (
+            ts.value_stats.update(flat["ret"], self.axis_name)
+            if cfg.normalize_value
+            else ts.value_stats
+        )
+        if cfg.normalize_advantage:
+            a = flat["adv"]
+            mean = self._pmean(a.mean())
+            var = self._pmean(((a - mean) ** 2).mean())
+            flat["adv"] = (a - mean) / (jnp.sqrt(var) + 1e-8)
+        if cfg.normalize_value:
+            flat["ret_n"] = value_stats.normalize(flat["ret"], clip=jnp.inf)
+            flat["value_n"] = value_stats.normalize(flat["value"], clip=jnp.inf)
+        else:
+            flat["ret_n"] = flat["ret"]
+            flat["value_n"] = flat["value"]
+
+        def loss_fn(params, mb):
+            n_obs = obs_stats.normalize(mb["obs"]) if cfg.normalize_input else mb["obs"]
+            mu, log_std, value_n = self.network.apply(params, n_obs)
+            logp = networks.gaussian_logp(mu, log_std, mb["action"])
+            ratio = jnp.exp(logp - mb["logp"])
+            surr1 = mb["adv"] * ratio
+            surr2 = mb["adv"] * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+            a_loss = -jnp.minimum(surr1, surr2).mean()
+
+            if cfg.clip_value:
+                v_clipped = mb["value_n"] + jnp.clip(
+                    value_n - mb["value_n"], -cfg.e_clip, cfg.e_clip
+                )
+                v_loss = jnp.maximum(
+                    (value_n - mb["ret_n"]) ** 2, (v_clipped - mb["ret_n"]) ** 2
+                ).mean()
+            else:
+                v_loss = ((value_n - mb["ret_n"]) ** 2).mean()
+
+            entropy = networks.gaussian_entropy(log_std).mean()
+            # rl_games bound loss (common_agent.py:420-428): penalize |mu|>1.1
+            soft = 1.1
+            b_loss = (
+                jnp.clip(mu - soft, 0.0, None) ** 2 + jnp.clip(mu + soft, None, 0.0) ** 2
+            ).sum(-1).mean()
+
+            loss = (
+                a_loss
+                + 0.5 * cfg.critic_coef * v_loss
+                - cfg.entropy_coef * entropy
+                + cfg.bounds_loss_coef * b_loss
+            )
+            kl = networks.gaussian_kl(mb["mu"], mb["log_std"], mu, log_std).mean()
+            return loss, dict(a_loss=a_loss, v_loss=v_loss, entropy=entropy, kl=kl)
+
+        def minibatch_step(carry, mb_idx):
+            params, opt_state, lr, key = carry
+            mb = jax.tree.map(lambda v: v[mb_idx], flat)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb)
+            # data-parallel gradient reduction over the env mesh axis
+            # (the NCCL all-reduce equivalent, SURVEY.md §5.8)
+            grads = self._pmean(grads)
+            aux = self._pmean(aux)
+            loss = self._pmean(loss)
+            opt_state[1].hyperparams["learning_rate"] = lr  # optax inject_hyperparams pattern
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # adaptive KL LR (rl_games AdaptiveScheduler, common_agent.py:216-236)
+            if cfg.lr_schedule == "adaptive":
+                lr = jnp.where(aux["kl"] > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
+                lr = jnp.where(aux["kl"] < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
+                lr = jnp.clip(lr, 1e-6, 1e-2)
+            return (params, opt_state, lr, key), (loss, aux["kl"], aux["a_loss"], aux["v_loss"], aux["entropy"])
+
+        mb_size = B // self.num_minibatches  # local minibatch under sharding
+
+        def epoch_step(carry, _):
+            params, opt_state, lr, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, B).reshape(self.num_minibatches, mb_size)
+            (params, opt_state, lr, key), metrics = jax.lax.scan(
+                minibatch_step, (params, opt_state, lr, key), perm
+            )
+            return (params, opt_state, lr, key), metrics
+
+        (params, opt_state, lr, key), metrics = jax.lax.scan(
+            epoch_step, (ts.params, ts.opt_state, ts.lr, ts.key), None,
+            length=cfg.mini_epochs,
+        )
+        loss, kl, a_loss, v_loss, entropy = metrics
+        ts = ts.replace(
+            params=params, opt_state=opt_state, lr=lr, key=key,
+            obs_stats=obs_stats, value_stats=value_stats,
+            epoch=ts.epoch + 1,
+        )
+        info = dict(
+            loss=loss.mean(), kl=kl.mean(), a_loss=a_loss.mean(),
+            v_loss=v_loss.mean(), entropy=entropy.mean(), lr=lr,
+            mean_return=ts.mean_return, mean_length=ts.mean_length,
+        )
+        return ts, info
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def train_epoch(self, ts: TrainState):
+        """One full PPO epoch: rollout + GAE + mini-epoch updates (one jit)."""
+        ts, batch = self._rollout(ts)
+        advs, returns = self._gae(ts, batch)
+        return self._update(ts, batch, advs, returns)
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        seed: int = 42,
+        max_epochs: Optional[int] = None,
+        log_every: int = 10,
+        callback=None,
+    ) -> TrainState:
+        ts = self.init(seed)
+        epochs = max_epochs or self.cfg.max_epochs
+        steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
+        t0 = time.time()
+        for ep in range(epochs):
+            ts, info = self.train_epoch(ts)
+            if callback is not None:
+                callback(ep, ts, info)
+            if log_every and (ep % log_every == 0 or ep == epochs - 1):
+                jax.block_until_ready(info["loss"])
+                fps = steps_per_epoch * (ep + 1) / (time.time() - t0)
+                print(
+                    f"epoch {ep:5d} | return {float(info['mean_return']):9.2f} "
+                    f"| len {float(info['mean_length']):6.1f} | kl {float(info['kl']):.4f} "
+                    f"| lr {float(info['lr']):.2e} | fps_total {fps:,.0f}"
+                )
+        return ts
+
+    # ------------------------------------------------------------------
+    def act(self, ts: TrainState, obs: jnp.ndarray, deterministic: bool = True):
+        """Inference policy (player path, ref: learning/common_player.py:54)."""
+        n_obs = self._norm_obs(ts.obs_stats, obs)
+        mu, log_std, _ = self.network.apply(ts.params, n_obs)
+        return mu

@@ -1,0 +1,80 @@
+"""Distributed PPO: the single-chip learner wrapped in shard_map.
+
+`DistributedPPO.train_epoch` runs the exact same math as `PPO.train_epoch`
+but with the env batch sharded over the mesh's ``env`` axis: rollouts and
+minibatch assembly are shard-local (zero communication), gradients and
+normalizer statistics are pmean'd (see learning/ppo.py `_pmean` hooks).
+
+This replaces the reference's per-GPU process + torch.distributed all-reduce
+(ref: utils/rlgames_utils.py:89-107, SURVEY.md §5.8) with one SPMD program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from isaacgymenv_tpu.envs.base import TaskEnv
+from isaacgymenv_tpu.learning.ppo import PPO, TrainState
+from isaacgymenv_tpu.parallel import mesh as mesh_mod
+
+AXIS = "env"
+
+
+class DistributedPPO(PPO):
+    """PPO with the env axis sharded over a jax Mesh."""
+
+    def __init__(self, env: TaskEnv, train_cfg: Dict[str, Any], mesh: Mesh):
+        super().__init__(env, train_cfg, axis_name=AXIS)
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        assert env.num_envs % self.n_shards == 0, (
+            f"num_envs {env.num_envs} must divide over {self.n_shards} devices"
+        )
+        self._dist_epoch = None
+
+    def init(self, seed: int) -> TrainState:
+        ts = super().init(seed)
+        return mesh_mod.shard_batch_pytree(ts, self.mesh, self.env.num_envs, AXIS)
+
+    def _specs(self, ts: TrainState):
+        return mesh_mod.batch_specs(ts, self.env.num_envs, AXIS)
+
+    def train_epoch(self, ts: TrainState):
+        if self._dist_epoch is None:
+            in_specs = self._specs(ts)
+
+            def body(ts_local: TrainState):
+                # decorrelate per-shard sampling; keep the stored key replicated
+                idx = jax.lax.axis_index(AXIS)
+                orig_key = ts_local.key
+                ts_l = ts_local.replace(key=jax.random.fold_in(orig_key, idx + 1))
+                ts_l, batch = self._rollout(ts_l)
+                advs, returns = self._gae(ts_l, batch)
+                ts_l, info = self._update(ts_l, batch, advs, returns)
+                # replicated-out key: advance deterministically from the original
+                ts_l = ts_l.replace(key=jax.random.split(orig_key)[0])
+                return ts_l, info
+
+            # output specs: same sharding layout as input + replicated info
+            def run(ts_in):
+                dummy_info = {
+                    k: P()
+                    for k in ("loss", "kl", "a_loss", "v_loss", "entropy", "lr",
+                              "mean_return", "mean_length")
+                }
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(in_specs,),
+                    out_specs=(in_specs, dummy_info),
+                    check_rep=False,
+                )(ts_in)
+
+            self._dist_epoch = jax.jit(run)
+        return self._dist_epoch(ts)

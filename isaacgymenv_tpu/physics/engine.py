@@ -100,10 +100,13 @@ def passive_force(model: SimModel, dof_pos, dof_vel):
 
 
 def _implicit_damping(model: SimModel) -> jnp.ndarray:
-    """Per-dof damping handled implicitly in the mass matrix (see module doc)."""
-    mode = model.dof_drive_mode
-    drive_kd = jnp.where((mode == DRIVE_POS) | (mode == DRIVE_VEL), model.dof_damping, 0.0)
-    return drive_kd
+    """Per-dof *extra* damping handled implicitly via the mass matrix.
+
+    The PD drive itself is explicit (so effort clamping matches PhysX
+    semantics); only the joint-friction linearization is stabilized
+    implicitly.  Kept as a hook for very stiff drives if needed.
+    """
+    return model.dof_friction / _FRICTION_VEL_EPS * 0.0
 
 
 def _integrate(model: SimModel, q, qd_new, dt):
@@ -152,13 +155,10 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     tau_passive = passive_force(model, dof_pos, dof_vel)
     tau = jnp.zeros_like(state.qd).at[..., vi].set(tau_applied + tau_passive)
 
-    # --- forward dynamics with implicit drive damping ---
+    # --- forward dynamics ---
     batch = state.q.shape[:-1]
     inertias = dynamics.body_spatial_inertias(model, batch, state.q.dtype)
     M = dynamics.crba(model, kin, inertias)
-    if model.nd > 0:
-        d_imp = jnp.broadcast_to(_implicit_damping(model) * dt, batch + (model.nd,))
-        M = M.at[..., vi, vi].add(d_imp)
     C = dynamics.rnea_bias(model, kin, inertias, f_ext)
     L = jnp.linalg.cholesky(M)
     y = jax.scipy.linalg.solve_triangular(L, (tau - C)[..., None], lower=True)

@@ -1,0 +1,83 @@
+"""Training CLI — `python -m isaacgymenv_tpu.train task=Cartpole ...`.
+
+Mirrors the reference entry point (ref: train.py:86-221; README.md:55-144):
+hydra-style `key=value` overrides, `task=<T>` selects cfg/task/<T>.yaml +
+cfg/train/<T>PPO.yaml, `test=True checkpoint=...` runs the player path,
+`max_iterations=N` caps epochs, `num_envs=N` overrides the env count.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+
+    task = kv.pop("task", "Cartpole")
+    seed = int(kv.pop("seed", 42))
+    test = kv.pop("test", "False").lower() in ("true", "1")
+    checkpoint = kv.pop("checkpoint", "")
+    max_iterations = kv.pop("max_iterations", "")
+    num_envs = kv.pop("num_envs", "")
+    experiment = kv.pop("experiment", task)
+    headless = kv.pop("headless", "True")  # accepted for CLI parity; no viewer
+    train_name = kv.pop("train", "")
+
+    from isaacgymenv_tpu.envs import registry
+    from isaacgymenv_tpu.learning.checkpoint import load_train_state, save_train_state
+    from isaacgymenv_tpu.learning.ppo import PPO
+    from isaacgymenv_tpu.utils.config import (
+        apply_cli_overrides,
+        load_task_config,
+        load_train_config,
+    )
+
+    task_cfg = load_task_config(task)
+    train_cfg = load_train_config(task, train_name or None)
+    # route remaining dotted overrides: 'train.*' to train cfg, rest to task cfg
+    task_overrides = [f"{k}={v}" for k, v in kv.items() if not k.startswith("train.")]
+    train_overrides = [f"{k[6:]}={v}" for k, v in kv.items() if k.startswith("train.")]
+    apply_cli_overrides(task_cfg, task_overrides)
+    apply_cli_overrides(train_cfg, train_overrides)
+    if num_envs:
+        task_cfg["env"]["numEnvs"] = int(num_envs)
+
+    env_cls = registry.get_task(task)
+    env = env_cls(task_cfg)
+    agent = PPO(env, train_cfg)
+
+    run_dir = os.path.join("runs", experiment)
+    os.makedirs(os.path.join(run_dir, "nn"), exist_ok=True)
+
+    if test:
+        import jax.numpy as jnp
+        import numpy as np
+
+        ts = load_train_state(agent, checkpoint)
+        venv = env.as_vec_env(seed=seed)
+        obs = venv.reset()
+        total, count = 0.0, 0
+        for _ in range(int(max_iterations) if max_iterations else 300):
+            act = agent.act(ts, obs["obs"])
+            obs, rew, done, extras = venv.step(act)
+            total += float(rew.sum())
+            count += env.num_envs
+        print(f"av reward per step: {total / max(count,1):.3f}")
+        return
+
+    epochs = int(max_iterations) if max_iterations else None
+    t0 = time.time()
+    ts = agent.train(seed=seed, max_epochs=epochs)
+    path = os.path.join(run_dir, "nn", f"{experiment}.ckpt")
+    save_train_state(ts, path)
+    steps = agent.cfg.horizon_length * env.num_envs * int(ts.epoch)
+    dt = time.time() - t0
+    print(f"saved {path}; {steps:,} env steps in {dt:.1f}s ({steps/dt:,.0f} steps/s)")
+
+
+if __name__ == "__main__":
+    main()

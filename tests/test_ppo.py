@@ -1,0 +1,58 @@
+"""PPO learner tests: learning signal on Cartpole + distributed parity."""
+
+import numpy as np
+import jax
+
+from isaacgymenv_tpu.envs import registry
+from isaacgymenv_tpu.learning.ppo import PPO
+from isaacgymenv_tpu.parallel.mesh import make_mesh
+from isaacgymenv_tpu.parallel.trainer import DistributedPPO
+from isaacgymenv_tpu.utils.config import load_task_config, load_train_config
+
+
+def small_cfgs(num_envs=128):
+    cfg = load_task_config("Cartpole", num_envs=num_envs)
+    tcfg = load_train_config("Cartpole")
+    tcfg["params"]["config"]["minibatch_size"] = num_envs * 16 // 1
+    return cfg, tcfg
+
+
+def test_ppo_learns_cartpole():
+    cfg, tcfg = small_cfgs(128)
+    env = registry.get_task("Cartpole")(cfg)
+    agent = PPO(env, tcfg)
+    ts = agent.init(0)
+    first = None
+    for ep in range(25):
+        ts, info = agent.train_epoch(ts)
+        if ep == 4:
+            first = float(info["mean_return"])
+    last = float(info["mean_return"])
+    assert last > first + 5.0, f"no learning signal: {first} -> {last}"
+    assert last > 15.0, f"cartpole should reach return > 15 in 25 epochs, got {last}"
+    assert np.isfinite(float(info["loss"]))
+
+
+def test_distributed_ppo_runs_and_learns():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    cfg, tcfg = small_cfgs(128)
+    env = registry.get_task("Cartpole")(cfg)
+    agent = DistributedPPO(env, tcfg, make_mesh(8))
+    ts = agent.init(0)
+    for ep in range(15):
+        ts, info = agent.train_epoch(ts)
+    # env state sharded over mesh, params replicated
+    assert ts.env_state.sim.q.sharding.spec == jax.sharding.PartitionSpec("env")
+    leaf = jax.tree.leaves(ts.params)[0]
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec()
+    assert float(info["mean_return"]) > 5.0
+    assert np.isfinite(float(info["loss"]))
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(8)
