@@ -94,7 +94,11 @@ def contact_forces(
     v_t = v - v_n[..., None] * n
     vt_norm = jnp.linalg.norm(v_t, axis=-1)
 
-    fn = jnp.maximum(kn * depth - kd * v_n, 0.0)
+    # Hunt-Crossley-style normal force: damping scales with depth, so the
+    # force is continuous at touchdown (no impulsive damper => no contact
+    # chatter under explicit integration at light end-effector masses)
+    d_pos = jnp.maximum(depth, 0.0)
+    fn = kn * d_pos + kd * d_pos * jnp.maximum(-v_n, 0.0)
     fn = jnp.where(active, fn, 0.0)
 
     mu = model.geom_friction

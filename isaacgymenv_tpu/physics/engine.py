@@ -99,14 +99,19 @@ def passive_force(model: SimModel, dof_pos, dof_vel):
     return tau_lim + tau_fric
 
 
-def _implicit_damping(model: SimModel) -> jnp.ndarray:
-    """Per-dof *extra* damping handled implicitly via the mass matrix.
+def _implicit_drive_terms(model: SimModel, h: float) -> jnp.ndarray:
+    """Mass-matrix diagonal augmentation for implicit PD drives.
 
-    The PD drive itself is explicit (so effort clamping matches PhysX
-    semantics); only the joint-friction linearization is stabilized
-    implicitly.  Kept as a hook for very stiff drives if needed.
+    PhysX integrates joint drives implicitly (TGS), which is what makes
+    Kp=85/Kd=2 stable at coarse steps in the reference (cfg/task/Anymal.yaml
+    control block).  The standard spring-damper linearization adds
+    h*Kd + h^2*Kp to the joint-space inertia: the explicit clamped PD force
+    plus this augmentation equals a backward-Euler drive to first order.
     """
-    return model.dof_friction / _FRICTION_VEL_EPS * 0.0
+    mode = model.dof_drive_mode
+    kp = jnp.where(mode == DRIVE_POS, model.dof_stiffness, 0.0)
+    kd = jnp.where((mode == DRIVE_POS) | (mode == DRIVE_VEL), model.dof_damping, 0.0)
+    return h * kd + h * h * kp
 
 
 def _integrate(model: SimModel, q, qd_new, dt):
@@ -155,10 +160,13 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     tau_passive = passive_force(model, dof_pos, dof_vel)
     tau = jnp.zeros_like(state.qd).at[..., vi].set(tau_applied + tau_passive)
 
-    # --- forward dynamics ---
+    # --- forward dynamics (implicit PD-drive stabilization on the diagonal) ---
     batch = state.q.shape[:-1]
     inertias = dynamics.body_spatial_inertias(model, batch, state.q.dtype)
     M = dynamics.crba(model, kin, inertias)
+    if model.nd > 0:
+        d_imp = jnp.broadcast_to(_implicit_drive_terms(model, dt), batch + (model.nd,))
+        M = M.at[..., vi, vi].add(d_imp)
     C = dynamics.rnea_bias(model, kin, inertias, f_ext)
     L = jnp.linalg.cholesky(M)
     y = jax.scipy.linalg.solve_triangular(L, (tau - C)[..., None], lower=True)
@@ -201,8 +209,15 @@ def step(
     matching the reference where refresh happens next step.
     """
     h = dt / substeps
-    for _ in range(substeps):
+    if substeps == 1:
         state = _substep(model, terrain, state, ctrl, h)
+    else:
+        # scan keeps the traced graph one-substep-deep (fast compiles; XLA
+        # still fuses the substep body into one loop kernel)
+        def body(s, _):
+            return _substep(model, terrain, s, ctrl, h), None
+
+        state, _ = jax.lax.scan(body, state, None, length=substeps)
     return forward(model, terrain, state)
 
 
