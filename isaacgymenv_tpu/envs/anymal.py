@@ -119,6 +119,9 @@ class Anymal(TaskEnv):
         mb.tangential_stiffness = float(contact.get("tangential_stiffness", 1500.0))
         mb.gravity = np.array(self.gravity)
         self.model = mb.finalize()
+        from isaacgymenv_tpu.physics.meff import attach_effective_masses
+
+        self.model = attach_effective_masses(self.model)
         self.terrain = None
         self._info = info
 

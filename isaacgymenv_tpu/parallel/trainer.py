@@ -40,10 +40,45 @@ class DistributedPPO(PPO):
 
     def init(self, seed: int) -> TrainState:
         ts = super().init(seed)
-        return mesh_mod.shard_batch_pytree(ts, self.mesh, self.env.num_envs, AXIS)
+        specs = self._specs(ts)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, s)),
+            ts,
+            specs,
+        )
 
     def _specs(self, ts: TrainState):
-        return mesh_mod.batch_specs(ts, self.env.num_envs, AXIS)
+        """Structural PartitionSpecs: env-batched state sharded over AXIS,
+        learner state replicated.  Built by field, not by shape heuristics
+        (a shape[0]==num_envs test misfires when a parameter dim equals the
+        env count)."""
+        shard = P(AXIS)
+        repl = P()
+
+        def env_state_specs(es):
+            return es.replace(
+                sim=jax.tree.map(lambda _: shard, es.sim),
+                progress=shard,
+                reset=shard,
+                rng=repl,
+                ts={k: jax.tree.map(lambda _: shard, v) for k, v in es.ts.items()},
+            )
+
+        return ts.replace(
+            params=jax.tree.map(lambda _: repl, ts.params),
+            opt_state=jax.tree.map(lambda _: repl, ts.opt_state),
+            obs_stats=jax.tree.map(lambda _: repl, ts.obs_stats),
+            value_stats=jax.tree.map(lambda _: repl, ts.value_stats),
+            lr=repl,
+            env_state=env_state_specs(ts.env_state),
+            last_obs=shard,
+            key=repl,
+            epoch=repl,
+            ep_return=shard,
+            ep_length=shard,
+            mean_return=repl,
+            mean_length=repl,
+        )
 
     def train_epoch(self, ts: TrainState):
         if self._dist_epoch is None:

@@ -98,9 +98,11 @@ class ModelBuilder:
         self.geom_radius: List[float] = []
         self.geom_friction: List[float] = []
         self.gravity = np.array([0.0, 0.0, -9.81])
+        # Hunt-Crossley units: normal force = kn*d + kd*d*approach_speed;
+        # tangential_stiffness only caps the impulse-based stiction
         self.contact_stiffness = 1.0e4
-        self.contact_damping = 1.0e3
-        self.tangential_stiffness = 1.0e3
+        self.contact_damping = 1.0e5
+        self.tangential_stiffness = 1.0e6
 
     # -- construction ------------------------------------------------------
     def add_body(
@@ -212,6 +214,9 @@ class ModelBuilder:
             ),
             geom_radius=jnp.array(self.geom_radius, dtype),
             geom_friction=jnp.array(self.geom_friction, dtype),
+            geom_meff=jnp.array(
+                [max(self.bodies[b].mass, 1e-3) for b in self.geom_body], dtype
+            ),
             gravity=jnp.array(self.gravity, dtype),
             contact_stiffness=jnp.array(self.contact_stiffness, dtype),
             contact_damping=jnp.array(self.contact_damping, dtype),

@@ -67,6 +67,7 @@ def contact_forces(
     geom_pos_w: jnp.ndarray,   # (..., ng, 3) world positions of contact spheres
     geom_vel_w: jnp.ndarray,   # (..., ng, 3) world velocities of sphere centers
     body_pos_w: jnp.ndarray,   # (..., nb, 3) body origins (for torque levers)
+    h: float = 1e-2,           # substep size (for impulse-capped damping)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compute per-body external spatial forces from ground contact.
 
@@ -78,11 +79,11 @@ def contact_forces(
                    termination logic (ref: tasks/anymal.py:331-337).
     """
     x, y, z = geom_pos_w[..., 0], geom_pos_w[..., 1], geom_pos_w[..., 2]
-    h = height_at(terrain, x, y)
+    hgt = height_at(terrain, x, y)
     n = terrain_normal(terrain, x, y)  # (..., ng, 3)
 
     radius = model.geom_radius
-    depth = h + radius - z  # penetration along +z (sphere bottom below surface)
+    depth = hgt + radius - z  # penetration along +z (sphere bottom below surface)
     active = depth > 0.0
 
     kn = model.contact_stiffness
@@ -96,14 +97,28 @@ def contact_forces(
 
     # Hunt-Crossley-style normal force: damping scales with depth, so the
     # force is continuous at touchdown (no impulsive damper => no contact
-    # chatter under explicit integration at light end-effector masses)
-    d_pos = jnp.maximum(depth, 0.0)
-    fn = kn * d_pos + kd * d_pos * jnp.maximum(-v_n, 0.0)
+    # chatter under explicit integration at light end-effector masses).
+    # Depth is clamped so spawn-time penetration produces a bounded push-out
+    # (the max_depenetration_velocity analog, ref: cfg sim.physx).
+    #
+    # Both the normal damper and the tangential friction force are capped by
+    # the momentum-arrest impulse kappa*m_body*|v|/h — an explicit damper can
+    # never remove more than a fraction of the body's momentum in one
+    # substep, which makes the scheme unconditionally stable for arbitrarily
+    # light bodies (nv_ant feet are 50 g) with NO per-task damping tuning.
+    kappa = 0.25
+    arrest = kappa * model.geom_meff / h  # N per (m/s)
+
+    d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
+    approach = jnp.maximum(-v_n, 0.0)
+    f_damp = jnp.minimum(kd * d_pos, arrest) * approach
+    fn = kn * d_pos + f_damp
     fn = jnp.where(active, fn, 0.0)
 
     mu = model.geom_friction
-    # viscous friction clamped to the Coulomb cone
-    ft_mag = jnp.minimum(kt * vt_norm, mu * fn)
+    # near-ideal stiction: arrest tangential momentum, clamped to the
+    # Coulomb cone (replaces the tuned viscous kt; kt retained as a cap)
+    ft_mag = jnp.minimum(jnp.minimum(arrest, kt) * vt_norm, mu * fn)
     ft = -v_t / jnp.maximum(vt_norm, 1e-6)[..., None] * ft_mag[..., None]
 
     f_world = fn[..., None] * n + ft  # (..., ng, 3)

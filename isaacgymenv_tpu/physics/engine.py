@@ -99,18 +99,28 @@ def passive_force(model: SimModel, dof_pos, dof_vel):
     return tau_lim + tau_fric
 
 
-def _implicit_drive_terms(model: SimModel, h: float) -> jnp.ndarray:
-    """Mass-matrix diagonal augmentation for implicit PD drives.
+def _implicit_drive_terms(model: SimModel, h: float, dof_pos: jnp.ndarray) -> jnp.ndarray:
+    """Mass-matrix diagonal augmentation for implicit spring-dampers.
 
-    PhysX integrates joint drives implicitly (TGS), which is what makes
-    Kp=85/Kd=2 stable at coarse steps in the reference (cfg/task/Anymal.yaml
-    control block).  The standard spring-damper linearization adds
-    h*Kd + h^2*Kp to the joint-space inertia: the explicit clamped PD force
-    plus this augmentation equals a backward-Euler drive to first order.
+    PhysX integrates joint drives AND limits implicitly (TGS), which is what
+    makes Kp=85/Kd=2 drives and hard limits stable at coarse steps in the
+    reference.  The backward-Euler linearization of a spring-damper adds
+    h*Kd + h^2*Kp to the joint-space inertia.  Includes:
+    - PD drives (POS: Kp+Kd, VEL: Kd),
+    - joint-limit spring-damper, gated on limit violation (state-dependent),
+    - the joint-friction tanh linearized around 0 velocity.
+    This makes all three unconditionally stable regardless of joint inertia
+    (e.g. nv_ant's 0.02 kg m^2 ankles vs anymal's 0.5 kg m^2 hips).
     """
     mode = model.dof_drive_mode
     kp = jnp.where(mode == DRIVE_POS, model.dof_stiffness, 0.0)
     kd = jnp.where((mode == DRIVE_POS) | (mode == DRIVE_VEL), model.dof_damping, 0.0)
+    at_limit = model.dof_has_limit & (
+        (dof_pos < model.dof_lower) | (dof_pos > model.dof_upper)
+    )
+    kp = kp + jnp.where(at_limit, _LIMIT_STIFFNESS, 0.0)
+    kd = kd + jnp.where(at_limit, _LIMIT_DAMPING, 0.0)
+    kd = kd + model.dof_friction / _FRICTION_VEL_EPS
     return h * kd + h * h * kp
 
 
@@ -149,7 +159,9 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         model.geom_offset, body_pos_w.shape[:-2] + (model.ng, 3)))
     geom_pos_w = body_pos_w[..., gb, :] + off_w
     geom_vel_w = body_lin_w[..., gb, :] + jnp.cross(body_ang_w[..., gb, :], off_w)
-    f_ext, body_cf = contact_mod.contact_forces(model, terrain, geom_pos_w, geom_vel_w, body_pos_w)
+    f_ext, body_cf = contact_mod.contact_forces(
+        model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt
+    )
 
     if ctrl.body_wrench is not None:
         f_ext = f_ext + ctrl.body_wrench
@@ -165,7 +177,9 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     inertias = dynamics.body_spatial_inertias(model, batch, state.q.dtype)
     M = dynamics.crba(model, kin, inertias)
     if model.nd > 0:
-        d_imp = jnp.broadcast_to(_implicit_drive_terms(model, dt), batch + (model.nd,))
+        d_imp = jnp.broadcast_to(
+            _implicit_drive_terms(model, dt, dof_pos), batch + (model.nd,)
+        )
         M = M.at[..., vi, vi].add(d_imp)
     C = dynamics.rnea_bias(model, kin, inertias, f_ext)
     L = jnp.linalg.cholesky(M)
@@ -187,6 +201,7 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         body_linvel=body_lin_w,
         body_angvel=body_ang_w,
         contact_force=body_cf,
+        contact_torque=f_ext[..., :3] - (ctrl.body_wrench[..., :3] if ctrl.body_wrench is not None else 0.0),
         dof_force=tau_applied + tau_passive,
     )
 

@@ -1,0 +1,57 @@
+"""Build-time estimation of per-contact-point effective mass.
+
+The impulse-capped contact model (physics/contact.py) bounds damper and
+friction forces by kappa * m_eff * |v| / h.  Using the geom's own body mass
+underestimates m_eff badly for light distal links (a 50 g ant foot is backed
+by the whole leg), making contacts too slippery; this utility computes the
+articulated effective mass 1 / (J M^-1 J^T) at each contact point at a
+reference pose, once, on the host.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from isaacgymenv_tpu.ops import maths
+from isaacgymenv_tpu.physics import dynamics, kinematics
+from isaacgymenv_tpu.physics.types import SimModel
+
+
+def attach_effective_masses(model: SimModel, q0: np.ndarray | None = None) -> SimModel:
+    """Return model with geom_meff = min-direction effective mass per geom.
+
+    q0: reference generalized positions (defaults to the zero/identity pose).
+    """
+    if model.ng == 0:
+        return model
+    if q0 is None:
+        from isaacgymenv_tpu.physics.types import make_zero_state
+
+        q = make_zero_state(model, 1).q
+    else:
+        q = jnp.asarray(q0, jnp.float32)[None]
+    qd = jnp.zeros((1, model.nv))
+    kin = kinematics.fk(model, q, qd)
+    inertias = dynamics.body_spatial_inertias(model, (1,), jnp.float32)
+    M = dynamics.crba(model, kin, inertias)[0]
+    Minv = jnp.linalg.inv(M + 1e-9 * jnp.eye(model.nv))
+
+    meff = []
+    for g in range(model.ng):
+        b = model.geom_body[g]
+        point_w = kin.p_w[b][0] + maths.quat_rotate(
+            maths.rotmat_to_quat(kin.R_w[b][0]), model.geom_offset[g]
+        )
+        J = kinematics.body_jacobian(model, kin, b, point_w[None])[0]  # (6, nv)
+        J_lin = J[0:3]
+        lam = J_lin @ Minv @ J_lin.T  # inverse effective mass matrix (3,3)
+        diag = jnp.diagonal(lam)
+        m_dir = 1.0 / jnp.maximum(diag, 1e-6)  # per-axis effective mass
+        meff.append(float(jnp.clip(jnp.min(m_dir), 1e-3, 1e4)))
+    # several spheres on one body can be in contact simultaneously and each
+    # applies its own impulse cap — split the budget so the SUM stays within
+    # the stable bound
+    counts = np.bincount(np.array(model.geom_body), minlength=model.nb)
+    meff = [m / max(int(counts[model.geom_body[g]]), 1) for g, m in enumerate(meff)]
+    return model.replace(geom_meff=jnp.array(meff, jnp.float32))

@@ -94,6 +94,9 @@ class SimModel:
     geom_offset: jnp.ndarray   # (ng, 3) body-frame offset
     geom_radius: jnp.ndarray   # (ng,)
     geom_friction: jnp.ndarray  # (ng,) Coulomb mu
+    geom_meff: jnp.ndarray     # (ng,) articulated effective mass at contact
+    #                            point (build-time, default-pose estimate;
+    #                            bounds the impulse-capped contact forces)
 
     # --- world ---
     gravity: jnp.ndarray       # (3,)
@@ -143,6 +146,7 @@ class SimState:
     body_linvel: jnp.ndarray  # (N, nb, 3)
     body_angvel: jnp.ndarray  # (N, nb, 3)
     contact_force: jnp.ndarray  # (N, nb, 3)
+    contact_torque: jnp.ndarray  # (N, nb, 3) moment about body origin, world frame
     dof_force: jnp.ndarray    # (N, nd) total applied joint force (ref: acquire_dof_force_tensor)
 
     @property
@@ -165,6 +169,7 @@ def make_zero_state(model: SimModel, n_envs: int, dtype=jnp.float32) -> SimState
         body_linvel=jnp.zeros((n_envs, model.nb, 3), dtype),
         body_angvel=jnp.zeros((n_envs, model.nb, 3), dtype),
         contact_force=jnp.zeros((n_envs, model.nb, 3), dtype),
+        contact_torque=jnp.zeros((n_envs, model.nb, 3), dtype),
         dof_force=jnp.zeros((n_envs, model.nd), dtype),
     )
 

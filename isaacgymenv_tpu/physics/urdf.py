@@ -332,8 +332,15 @@ def load_urdf(
         link = links[link_name]
         if jspec is None:
             jt = jt_root
-            quat = np.array(base_quat, np.float64)
-            pos = np.array(base_pos, np.float64)
+            if jt == JT_FREE:
+                # free roots carry their absolute pose in q — the spawn pose
+                # is applied by the env via set_root_state, not the tree
+                quat = np.array([0.0, 0.0, 0.0, 1.0])
+                pos = np.zeros(3)
+                info["init_root"] = (np.array(base_pos), np.array(base_quat))
+            else:
+                quat = np.array(base_quat, np.float64)
+                pos = np.array(base_pos, np.float64)
             axis = np.array([0.0, 0.0, 1.0])
             dof = {}
             jname = f"{link_name}_root"

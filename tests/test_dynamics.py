@@ -134,7 +134,7 @@ def make_free_ball(radius=0.1, mass=1.0):
     b = mb.add_body("ball", -1, JT_FREE, mass=mass, inertia=sphere_inertia(mass, radius))
     mb.add_geom_sphere(b, (0, 0, 0), radius, friction=1.0)
     mb.contact_stiffness = 5000.0
-    mb.contact_damping = 50.0
+    mb.contact_damping = 5.0e4  # Hunt-Crossley: damper = kd * depth
     return mb.finalize()
 
 
