@@ -243,4 +243,4 @@ class Ant(TaskEnv):
         done = fallen | (state.progress >= self.max_episode_length - 1)
         # true_objective for PBT ranking (ant.py:245-250)
         rs = root_state(self.model, state.sim)[:, 0]
-        return total, done, {"true_objective": rs[:, 7]}
+        return state, total, done, {"true_objective": rs[:, 7]}

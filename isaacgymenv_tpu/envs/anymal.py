@@ -234,4 +234,4 @@ class Anymal(TaskEnv):
         )
         timeout = state.progress >= self.max_episode_length - 1
         done = base_contact | knee_contact | timeout
-        return total, done, {}
+        return state, total, done, {}

@@ -89,9 +89,13 @@ class TaskEnv(abc.ABC):
 
     @abc.abstractmethod
     def _reward_done(
-        self, state: EnvState, obs: jnp.ndarray, actions: jnp.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """(reward (N,), done (N,) bool, info dict of extra scalars)."""
+        self, state: EnvState, obs: Optional[jnp.ndarray], actions: jnp.ndarray
+    ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """(state', reward (N,), done (N,) bool, info dict).
+
+        May thread task-state updates (episode sums, last_* buffers) through
+        the returned state.  Under `reset_timing == "immediate"` `obs` is
+        None (reward computed from pre-reset state, ref terrain ordering)."""
 
     def _states(self, state: EnvState, obs: jnp.ndarray) -> Optional[jnp.ndarray]:
         """Privileged state for asymmetric actor-critic (None if unused)."""
@@ -104,6 +108,19 @@ class TaskEnv(abc.ABC):
     def _initial_ts(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
         """Initial task-specific state arrays."""
         return {}
+
+    def _obs_noise(self, key: jax.Array, obs: jnp.ndarray) -> jnp.ndarray:
+        """Optional additive observation noise (terrain family,
+        ref: anymal_terrain.py:174-186 noise_scale_vec)."""
+        return obs
+
+    # Reset ordering (SURVEY.md §3.3):
+    # - "deferred" (flat family): envs flagged done at step t are reset at
+    #   step t+1 after physics; the learner SEES the terminal obs with done=1.
+    # - "immediate" (terrain family, ref anymal_terrain.py:448-476):
+    #   termination+reward are computed from pre-reset state, the env resets
+    #   in the same step, and the returned obs is the fresh episode's first.
+    reset_timing = "deferred"
 
     # ------------------------------------------------------------- pure API
     def initial_state(self, key: jax.Array) -> EnvState:
@@ -138,18 +155,27 @@ class TaskEnv(abc.ABC):
 
         state = self._post_physics(state, actions)
 
-        # auto-reset envs flagged done by the PREVIOUS step (ref ordering)
-        key, k_reset = jax.random.split(state.rng)
+        key, k_reset, k_noise = jax.random.split(state.rng, 3)
         state = state.replace(rng=key)
-        state = self._reset_envs(state, state.reset, k_reset)
-        state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
 
-        obs = self._observations(state, actions)
-        rew, done, info = self._reward_done(state, obs, actions)
+        if self.reset_timing == "immediate":
+            # reward/termination from pre-reset state, then reset this step
+            state, rew, done, info = self._reward_done(state, None, actions)
+            timeout = (state.progress >= self.max_episode_length - 1) & done
+            state = self._reset_envs(state, done, k_reset)
+            state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
+            obs = self._observations(state, actions)
+            state = state.replace(reset=done)
+        else:
+            # auto-reset envs flagged done by the PREVIOUS step (ref ordering)
+            state = self._reset_envs(state, state.reset, k_reset)
+            state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
+            obs = self._observations(state, actions)
+            state, rew, done, info = self._reward_done(state, obs, actions)
+            timeout = (state.progress >= self.max_episode_length - 1) & done
+            state = state.replace(reset=done)
 
-        timeout = (state.progress >= self.max_episode_length - 1) & done
-        state = state.replace(reset=done)
-
+        obs = self._obs_noise(k_noise, obs)
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
         obs_dict = {"obs": obs}
         states = self._states(state, obs)

@@ -106,4 +106,4 @@ class Cartpole(TaskEnv):
         oob = (jnp.abs(cart_pos) > self.reset_dist) | (jnp.abs(pole_angle) > math.pi / 2)
         reward = jnp.where(oob, -2.0, reward)
         done = oob | (state.progress >= self.max_episode_length - 1)
-        return reward, done, {}
+        return state, reward, done, {}

@@ -357,3 +357,15 @@ def random_dir_2(key: jax.Array, shape) -> jnp.ndarray:
     """Random 2D unit direction embedded in 3D (ref: torch_jit_utils.py:222)."""
     angle = jax.random.uniform(key, shape, minval=-math.pi, maxval=math.pi)
     return jnp.stack([jnp.cos(angle), jnp.sin(angle), jnp.zeros_like(angle)], axis=-1)
+
+
+def quat_apply_yaw(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate v by only the yaw component of q (ref: anymal_terrain.py:679)."""
+    quat_yaw = jnp.concatenate([jnp.zeros_like(q[..., :2]), q[..., 2:4]], axis=-1)
+    return quat_apply(quat_unit(quat_yaw), v)
+
+
+def wrap_to_pi(angles: jnp.ndarray) -> jnp.ndarray:
+    """ref: anymal_terrain.py:686 — wrap to (-pi, pi]."""
+    a = angles % (2.0 * math.pi)
+    return a - 2.0 * math.pi * (a > math.pi)

@@ -67,10 +67,24 @@ def _mat_to_quat(m: np.ndarray) -> np.ndarray:
     return np.array([(m[0, 2] + m[2, 0]) / s, (m[1, 2] + m[2, 1]) / s, 0.25 * s, (m[1, 0] - m[0, 1]) / s])
 
 
+def _f(s, default=0.0) -> float:
+    """Tolerant float: real-world URDFs contain typos like '0.0.0000001'
+    (assets/urdf/Hound_new/Hound.urdf); take the longest valid prefix."""
+    if s is None:
+        return float(default)
+    try:
+        return float(s)
+    except ValueError:
+        import re
+
+        m = re.match(r"\s*[-+]?\d*\.?\d+([eE][-+]?\d+)?", str(s))
+        return float(m.group(0)) if m else float(default)
+
+
 def _parse_vec(s: Optional[str], default, n=3) -> np.ndarray:
     if s is None:
         return np.array(default, dtype=np.float64)
-    return np.array([float(x) for x in s.split()], dtype=np.float64)[:n]
+    return np.array([_f(x) for x in s.split()], dtype=np.float64)[:n]
 
 
 def _origin(el: Optional[ET.Element]) -> Tuple[np.ndarray, np.ndarray]:
@@ -185,13 +199,13 @@ def parse_urdf(path: str) -> Tuple[Dict[str, Link], List[Joint], str]:
         if inertial is not None:
             R_i, p_i = _origin(inertial.find("origin"))
             mass_el = inertial.find("mass")
-            link.mass = float(mass_el.get("value")) if mass_el is not None else 0.0
+            link.mass = _f(mass_el.get("value")) if mass_el is not None else 0.0
             link.com = p_i
             in_el = inertial.find("inertia")
             if in_el is not None:
-                ixx = float(in_el.get("ixx", 0));  iyy = float(in_el.get("iyy", 0))
-                izz = float(in_el.get("izz", 0));  ixy = float(in_el.get("ixy", 0))
-                ixz = float(in_el.get("ixz", 0));  iyz = float(in_el.get("iyz", 0))
+                ixx = _f(in_el.get("ixx"));  iyy = _f(in_el.get("iyy"))
+                izz = _f(in_el.get("izz"));  ixy = _f(in_el.get("ixy"))
+                ixz = _f(in_el.get("ixz"));  iyz = _f(in_el.get("iyz"))
                 I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
                 link.inertia = R_i @ I @ R_i.T
                 link.has_inertial = True
@@ -225,14 +239,14 @@ def parse_urdf(path: str) -> Tuple[Dict[str, Link], List[Joint], str]:
         )
         lim = jel.find("limit")
         if lim is not None:
-            j.lower = float(lim.get("lower", -1e9))
-            j.upper = float(lim.get("upper", 1e9))
-            j.effort = float(lim.get("effort", 1e9))
-            j.velocity = float(lim.get("velocity", 1e9))
+            j.lower = _f(lim.get("lower"), -1e9)
+            j.upper = _f(lim.get("upper"), 1e9)
+            j.effort = _f(lim.get("effort"), 1e9)
+            j.velocity = _f(lim.get("velocity"), 1e9)
         dyn = jel.find("dynamics")
         if dyn is not None:
-            j.damping = float(dyn.get("damping", 0.0))
-            j.friction = float(dyn.get("friction", 0.0))
+            j.damping = _f(dyn.get("damping"))
+            j.friction = _f(dyn.get("friction"))
         joints.append(j)
 
     return links, joints, robot.get("name", os.path.basename(path))

@@ -270,3 +270,36 @@ def test_cartpole_like_model_steps():
     assert cart_v[0] > 0.01 and abs(cart_v[1]) < 1e-5 and cart_v[2] < -0.01
     # pushing the cart makes the (upright, unstable) pole rotate opposite
     assert abs(float(s.qd[0, 1])) > 1e-4
+
+
+def test_aba_matches_crba_solve():
+    """ABA must agree with the CRBA+solve route on a branched floating tree."""
+    from isaacgymenv_tpu.physics.builder import ModelBuilder
+    from isaacgymenv_tpu.physics import dynamics, kinematics
+
+    mb = ModelBuilder()
+    root = mb.add_body("root", -1, JT_FREE, mass=2.0, inertia=np.diag([0.1, 0.12, 0.09]), com=(0.02, 0, 0.01))
+    l1 = mb.add_body("l1", root, JT_REVOLUTE, joint_pos=(0.1, 0.2, 0), joint_axis=(0, 1, 0),
+                     mass=0.7, com=(0, 0, -0.2), inertia=np.diag([0.01, 0.01, 0.002]), armature=0.01)
+    mb.add_body("l2", l1, JT_PRISMATIC, joint_pos=(0, 0, -0.4), joint_axis=(1, 0, 0),
+                mass=0.3, com=(0.05, 0, 0), inertia=np.diag([0.002, 0.003, 0.002]), armature=0.02)
+    mb.add_body("l3", root, JT_REVOLUTE, joint_pos=(-0.1, 0, 0.1), joint_quat=(0.3, 0.1, 0, 0.95),
+                joint_axis=(1, 0, 0), mass=0.5, com=(0, 0.1, 0), inertia=np.diag([0.004, 0.002, 0.004]))
+    model = mb.finalize()
+
+    rng = np.random.default_rng(3)
+    N = 16
+    q = np.zeros((N, model.nq), np.float32)
+    q[:, 0:3] = rng.normal(size=(N, 3))
+    quat = rng.normal(size=(N, 4)); quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    q[:, 3:7] = quat
+    q[:, 7:] = rng.uniform(-1, 1, size=(N, model.nd))
+    qd = jnp.array(rng.normal(size=(N, model.nv)) * 0.5, jnp.float32)
+    q = jnp.array(q)
+    tau = jnp.array(rng.normal(size=(N, model.nv)), jnp.float32)
+    f_ext = jnp.array(rng.normal(size=(N, model.nb, 6)), jnp.float32)
+
+    kin = kinematics.fk(model, q, qd)
+    qdd_crba = dynamics.forward_dynamics(model, kin, tau, f_ext)
+    qdd_aba = dynamics.aba(model, kin, tau, f_ext)
+    np.testing.assert_allclose(np.asarray(qdd_aba), np.asarray(qdd_crba), rtol=2e-3, atol=2e-3)
