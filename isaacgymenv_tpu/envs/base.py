@@ -69,6 +69,28 @@ class TaskEnv(abc.ABC):
         self.substeps = int(sim_cfg.get("substeps", 2))
         self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 1))
         self.gravity = tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81)))
+        # domain randomization (ref: task.randomize + randomization_params;
+        # attached after the subclass builds self.model — see _setup_dr)
+        self.randomize = bool(cfg.get("task", {}).get("randomize", False))
+        self.dr = None
+
+    def _setup_dr(self):
+        """Bind the DR engine once the model exists (call at end of subclass
+        __init__ or rely on lazy binding at initial_state)."""
+        if self.randomize and self.dr is None:
+            from isaacgymenv_tpu.utils.domain_rand import DomainRandomizer
+
+            self.dr = DomainRandomizer(
+                self.cfg["task"].get("randomization_params", {}),
+                self.model,
+                self.num_envs,
+            )
+
+    def _model_for(self, state: "EnvState") -> SimModel:
+        """Model with this state's per-env DR parameters applied."""
+        if self.dr is not None and "dr_params" in state.ts:
+            return self.dr.model_with(state.ts["dr_params"])
+        return self.model
 
     # ------------------------------------------------------------------ hooks
     @abc.abstractmethod
@@ -109,6 +131,20 @@ class TaskEnv(abc.ABC):
         """Initial task-specific state arrays."""
         return {}
 
+    def _do_reset(self, state: EnvState, mask: jnp.ndarray, key: jax.Array) -> EnvState:
+        """Task reset + frequency-gated DR re-roll (vec_task.py:619-638)."""
+        state = self._reset_envs(state, mask, key)
+        if self.dr is not None:
+            ts = dict(state.ts)
+            due = mask & (ts["dr_elapsed"] >= self.dr.frequency)
+            params = self.dr.resample(
+                jax.random.fold_in(key, 3), ts["dr_params"], due, ts["dr_step"]
+            )
+            ts["dr_params"] = params
+            ts["dr_elapsed"] = jnp.where(due, 0, ts["dr_elapsed"])
+            state = state.replace(ts=ts)
+        return state
+
     def _obs_noise(self, key: jax.Array, obs: jnp.ndarray) -> jnp.ndarray:
         """Optional additive observation noise (terrain family,
         ref: anymal_terrain.py:174-186 noise_scale_vec)."""
@@ -126,14 +162,25 @@ class TaskEnv(abc.ABC):
     def initial_state(self, key: jax.Array) -> EnvState:
         from isaacgymenv_tpu.physics.types import make_zero_state
 
-        key, k_ts, k_reset = jax.random.split(key, 3)
+        self._setup_dr()
+        key, k_ts, k_reset, k_dr = jax.random.split(key, 4)
         sim = make_zero_state(self.model, self.num_envs)
+        ts = self._initial_ts(k_ts)
+        if self.dr is not None:
+            # randomize once on startup (ref: anymal.py:155-157)
+            params = self.dr.initial_params()
+            params = self.dr.resample(
+                k_dr, params, jnp.ones(self.num_envs, bool), jnp.asarray(0)
+            )
+            ts["dr_params"] = params
+            ts["dr_elapsed"] = jnp.zeros(self.num_envs, jnp.int32)
+            ts["dr_step"] = jnp.zeros((), jnp.int32)
         state = EnvState(
             sim=sim,
             progress=jnp.zeros(self.num_envs, jnp.int32),
             reset=jnp.zeros(self.num_envs, bool),
             rng=key,
-            ts=self._initial_ts(k_ts),
+            ts=ts,
         )
         state = self._reset_envs(state, jnp.ones(self.num_envs, bool), k_reset)
         state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
@@ -143,15 +190,27 @@ class TaskEnv(abc.ABC):
         self, state: EnvState, actions: jnp.ndarray
     ) -> Tuple[EnvState, Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict]:
         """One env step (pure).  Returns (state', obs_dict, rew, done, extras)."""
+        # DR action noise BEFORE clipping (ref: vec_task.py:371-374)
+        if self.dr is not None and self.dr.act_spec is not None:
+            k_act = jax.random.fold_in(state.rng, 91)
+            actions = self.dr.noise(
+                self.dr.act_spec, k_act, actions, state.ts["dr_step"]
+            )
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
+        model = self._model_for(state)
         # physics rollout for one control period (decimation loop,
         # ref: vec_task.py:379-382)
         ctrl = self._make_control(state, actions)
         sim = state.sim
         for _ in range(self.control_freq_inv):
-            sim = engine.step(self.model, self.terrain, sim, ctrl, self.dt, self.substeps)
+            sim = engine.step(model, self.terrain, sim, ctrl, self.dt, self.substeps)
         state = state.replace(sim=sim, progress=state.progress + 1)
+        if self.dr is not None:
+            ts = dict(state.ts)
+            ts["dr_elapsed"] = ts["dr_elapsed"] + 1
+            ts["dr_step"] = ts["dr_step"] + 1
+            state = state.replace(ts=ts)
 
         state = self._post_physics(state, actions)
 
@@ -162,20 +221,24 @@ class TaskEnv(abc.ABC):
             # reward/termination from pre-reset state, then reset this step
             state, rew, done, info = self._reward_done(state, None, actions)
             timeout = (state.progress >= self.max_episode_length - 1) & done
-            state = self._reset_envs(state, done, k_reset)
-            state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
+            state = self._do_reset(state, done, k_reset)
+            state = state.replace(sim=engine.forward(self._model_for(state), self.terrain, state.sim))
             obs = self._observations(state, actions)
             state = state.replace(reset=done)
         else:
             # auto-reset envs flagged done by the PREVIOUS step (ref ordering)
-            state = self._reset_envs(state, state.reset, k_reset)
-            state = state.replace(sim=engine.forward(self.model, self.terrain, state.sim))
+            state = self._do_reset(state, state.reset, k_reset)
+            state = state.replace(sim=engine.forward(self._model_for(state), self.terrain, state.sim))
             obs = self._observations(state, actions)
             state, rew, done, info = self._reward_done(state, obs, actions)
             timeout = (state.progress >= self.max_episode_length - 1) & done
             state = state.replace(reset=done)
 
         obs = self._obs_noise(k_noise, obs)
+        if self.dr is not None and self.dr.obs_spec is not None:
+            obs = self.dr.noise(
+                self.dr.obs_spec, jax.random.fold_in(k_noise, 7), obs, state.ts["dr_step"]
+            )
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
         obs_dict = {"obs": obs}
         states = self._states(state, obs)
