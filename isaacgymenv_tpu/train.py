@@ -48,7 +48,13 @@ def main(argv=None):
 
     env_cls = registry.get_task(task)
     env = env_cls(task_cfg)
-    agent = PPO(env, train_cfg)
+    algo = train_cfg["params"].get("algo", {}).get("name", "a2c_continuous")
+    if algo == "sac":
+        from isaacgymenv_tpu.learning.sac import SAC
+
+        agent = SAC(env, train_cfg)
+    else:
+        agent = PPO(env, train_cfg)
 
     run_dir = os.path.join("runs", experiment)
     os.makedirs(os.path.join(run_dir, "nn"), exist_ok=True)
@@ -74,7 +80,10 @@ def main(argv=None):
     ts = agent.train(seed=seed, max_epochs=epochs)
     path = os.path.join(run_dir, "nn", f"{experiment}.ckpt")
     save_train_state(ts, path)
-    steps = agent.cfg.horizon_length * env.num_envs * int(ts.epoch)
+    per_epoch = (
+        agent.cfg.horizon_length if algo != "sac" else agent.steps_per_epoch
+    ) * env.num_envs
+    steps = per_epoch * int(ts.epoch)
     dt = time.time() - t0
     print(f"saved {path}; {steps:,} env steps in {dt:.1f}s ({steps/dt:,.0f} steps/s)")
 
