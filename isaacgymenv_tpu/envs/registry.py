@@ -49,8 +49,8 @@ _TASKS = [
     ("anymal_terrain", "AnymalTerrain", "AnymalTerrain"),
     ("hound", "Hound", "Hound"),
     ("hound_terrain", "HoundTerrain", "HoundTerrain"),
-    ("hound_arm", "Houndarm", "Houndarm"),
-    ("manipulator", "Manipulator", "Manipulator"),
+    ("arm_reach", "Houndarm", "Houndarm"),
+    ("arm_reach", "Manipulator", "Manipulator"),
     ("useful_hound", "UsefulHound", "UsefulHound"),
     ("ball_balance", "BallBalance", "BallBalance"),
     ("quadcopter", "Quadcopter", "Quadcopter"),

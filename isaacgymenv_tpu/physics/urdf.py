@@ -8,8 +8,9 @@ asset options that change topology: `fix_base_link`,
 
 Collision geometry is converted to contact spheres (physics/contact.py):
 sphere -> itself; capsule/cylinder -> end + middle spheres; box -> 8
-inset corner spheres; mesh -> skipped (the robots used by the shipped tasks
-collide via primitives; anymal feet are spheres radius 0.03).
+inset corner spheres; mesh (.obj/.stl) -> its axis-aligned bounding box
+(PhysX-style convex approximation is overkill for inertia/contact here;
+the AABB gives mass, inertia, and corner contact spheres).
 """
 
 from __future__ import annotations
@@ -171,19 +172,104 @@ def _geom_volume(g: Geom) -> float:
     return 1e-3
 
 
-def _parse_geometry(geo_el: ET.Element) -> Optional[Tuple[str, np.ndarray]]:
+_MESH_AABB_CACHE: Dict[Tuple[str, Tuple[float, float, float]], Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _resolve_mesh_path(filename: str, urdf_path: str) -> Optional[str]:
+    """Resolve `package://<pkg>/rest` / relative mesh references against the
+    asset tree the URDF lives in (how gym.load_asset resolves them)."""
+    urdf_dir = os.path.dirname(os.path.abspath(urdf_path))
+    if filename.startswith("package://"):
+        rest = filename[len("package://"):]
+        pkg, _, rel = rest.partition("/")
+        # walk up from the urdf dir looking for the package directory
+        d = urdf_dir
+        for _ in range(8):
+            cand = os.path.join(d, pkg, rel) if os.path.basename(d) != pkg else os.path.join(d, rel)
+            if os.path.exists(cand):
+                return cand
+            d = os.path.dirname(d)
+        return None
+    cand = os.path.join(urdf_dir, filename)
+    return cand if os.path.exists(cand) else None
+
+
+def _mesh_vertices(path: str) -> Optional[np.ndarray]:
+    """Vertices of an .obj (ascii) or .stl (binary or ascii) mesh."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        vs = []
+        with open(path, "r", errors="ignore") as f:
+            for line in f:
+                if line.startswith("v "):
+                    parts = line.split()
+                    vs.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        return np.array(vs) if vs else None
+    if ext == ".stl":
+        with open(path, "rb") as f:
+            head = f.read(5)
+            f.seek(0)
+            if head == b"solid":
+                data = f.read().decode(errors="ignore")
+                vs = []
+                for line in data.splitlines():
+                    t = line.split()
+                    if len(t) == 4 and t[0] == "vertex":
+                        vs.append([float(t[1]), float(t[2]), float(t[3])])
+                if vs:
+                    return np.array(vs)
+                f.seek(0)  # mislabeled binary
+            f.seek(80)
+            n = int.from_bytes(f.read(4), "little")
+            raw = np.frombuffer(f.read(n * 50), dtype=np.uint8)
+            if raw.size < n * 50:
+                return None
+            tri = raw.reshape(n, 50)[:, :48].copy().view(np.float32).reshape(n, 4, 3)
+            return tri[:, 1:4].reshape(-1, 3).astype(np.float64)
+    return None
+
+
+def _mesh_aabb(path: str, scale: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(center, full extents) of the scaled mesh's AABB; cached per file."""
+    key = (path, tuple(float(s) for s in scale))
+    if key in _MESH_AABB_CACHE:
+        return _MESH_AABB_CACHE[key]
+    vs = _mesh_vertices(path)
+    if vs is None or len(vs) == 0:
+        return None
+    vs = vs * np.asarray(scale)
+    lo, hi = vs.min(0), vs.max(0)
+    out = ((lo + hi) / 2.0, np.maximum(hi - lo, 1e-4))
+    _MESH_AABB_CACHE[key] = out
+    return out
+
+
+def _parse_geometry(
+    geo_el: ET.Element, urdf_path: str = ""
+) -> Optional[Tuple[str, np.ndarray, np.ndarray]]:
+    """Returns (kind, size, center offset in geom frame) or None."""
+    z3 = np.zeros(3)
     for child in geo_el:
         tag = child.tag
         if tag == "sphere":
-            return "sphere", np.array([float(child.get("radius"))])
+            return "sphere", np.array([float(child.get("radius"))]), z3
         if tag == "box":
-            return "box", _parse_vec(child.get("size"), (0.1, 0.1, 0.1))
+            return "box", _parse_vec(child.get("size"), (0.1, 0.1, 0.1)), z3
         if tag == "cylinder":
-            return "cylinder", np.array([float(child.get("radius")), float(child.get("length"))])
+            return "cylinder", np.array([float(child.get("radius")), float(child.get("length"))]), z3
         if tag == "capsule":
-            return "capsule", np.array([float(child.get("radius")), float(child.get("length"))])
+            return "capsule", np.array([float(child.get("radius")), float(child.get("length"))]), z3
         if tag == "mesh":
-            return None  # skipped for contact; visual-only
+            # mesh -> AABB box (mass/inertia/contact approximation)
+            mp = _resolve_mesh_path(child.get("filename", ""), urdf_path)
+            if mp is None:
+                return None
+            scale = _parse_vec(child.get("scale"), (1.0, 1.0, 1.0))
+            ab = _mesh_aabb(mp, scale)
+            if ab is None:
+                return None
+            center, extents = ab
+            return "box", extents, center
     return None
 
 
@@ -216,11 +302,11 @@ def parse_urdf(path: str) -> Tuple[Dict[str, Link], List[Joint], str]:
             geo = cel.find("geometry")
             if geo is None:
                 continue
-            parsed = _parse_geometry(geo)
+            parsed = _parse_geometry(geo, path)
             if parsed is None:
                 continue
-            kind, size = parsed
-            link.geoms.append(Geom(kind=kind, R=R_c, p=p_c, size=size))
+            kind, size, center = parsed
+            link.geoms.append(Geom(kind=kind, R=R_c, p=p_c + R_c @ center, size=size))
         links[link.name] = link
 
     for jel in robot.findall("joint"):
