@@ -146,7 +146,7 @@ class AnymalTerrain(TaskEnv):
 
         named = e["defaultJointAngles"]
         self.default_dof_pos = jnp.array(
-            [float(named[n]) for n in self.model.dof_names], jnp.float32
+            [float(named.get(n, 0.0)) for n in self.model.dof_names], jnp.float32
         )
         names = self.model.body_names
         foot_name = e["urdfAsset"].get("footName", "SHANK")
@@ -169,6 +169,14 @@ class AnymalTerrain(TaskEnv):
         self.add_noise = bool(learn.get("addNoise", False))
 
     # ------------------------------------------------------------------
+    def _configure_drives(self, mb):
+        """Set drive modes/gains on the ModelBuilder (subclass hook)."""
+        for b in mb.bodies:
+            b.drive_mode = DRIVE_POS
+            b.stiffness = self.Kp
+            b.damping = self.Kd
+            b.effort = 80.0  # torque clip (ref: anymal_terrain.py:445)
+
     def _build_model(self, cfg):
         e = cfg["env"]
         asset_cfg = e["urdfAsset"]
@@ -182,11 +190,7 @@ class AnymalTerrain(TaskEnv):
             ),
             friction=float(e["terrain"].get("staticFriction", 1.0)),
         )
-        for b in mb.bodies:
-            b.drive_mode = DRIVE_POS
-            b.stiffness = self.Kp
-            b.damping = self.Kd
-            b.effort = 80.0  # torque clip (ref: anymal_terrain.py:445)
+        self._configure_drives(mb)
         contact = cfg.get("sim", {}).get("contact", {})
         mb.contact_stiffness = float(contact.get("stiffness", 30000.0))
         mb.contact_damping = float(contact.get("damping", 60000.0))

@@ -189,7 +189,9 @@ class _ArmReachBase(TaskEnv):
         Minv = jnp.linalg.solve(M + 1e-9 * eye, jnp.broadcast_to(eye, M.shape))
         m_eef_inv = J @ Minv @ jnp.swapaxes(J, -1, -2)  # (N, 6, 6)
         eye6 = jnp.eye(6, dtype=q.dtype)
-        m_eef = jnp.linalg.solve(m_eef_inv + 1e-9 * eye6, jnp.broadcast_to(eye6, m_eef_inv.shape))
+        # damped least squares: bounded torques near kinematic singularities
+        # (the reference's bare torch.inverse is unbounded there)
+        m_eef = jnp.linalg.solve(m_eef_inv + 1e-2 * eye6, jnp.broadcast_to(eye6, m_eef_inv.shape))
         u = jnp.swapaxes(J, -1, -2) @ m_eef @ (
             self.kp * dpose - self.kd * eef_vel
         )[..., None]

@@ -102,8 +102,12 @@ class TaskEnv(abc.ABC):
         """
 
     @abc.abstractmethod
-    def _make_control(self, state: EnvState, actions: jnp.ndarray) -> engine.Control:
-        """Map clipped actions to actuation (pre_physics_step)."""
+    def _make_control(self, state: EnvState, actions: jnp.ndarray):
+        """Map clipped actions to actuation (pre_physics_step).
+
+        Returns a Control, or (Control, EnvState) when the task integrates
+        action state (e.g. quadcopter thrust/target integrators,
+        ref: tasks/quadcopter.py:310-316)."""
 
     @abc.abstractmethod
     def _observations(self, state: EnvState, actions: jnp.ndarray) -> jnp.ndarray:
@@ -202,6 +206,8 @@ class TaskEnv(abc.ABC):
         # physics rollout for one control period (decimation loop,
         # ref: vec_task.py:379-382)
         ctrl = self._make_control(state, actions)
+        if isinstance(ctrl, tuple):
+            ctrl, state = ctrl
         sim = state.sim
         for _ in range(self.control_freq_inv):
             sim = engine.step(model, self.terrain, sim, ctrl, self.dt, self.substeps)
