@@ -97,6 +97,7 @@ class ModelBuilder:
         self.geom_offset: List[np.ndarray] = []
         self.geom_radius: List[float] = []
         self.geom_friction: List[float] = []
+        self.surfaces: List[tuple] = []  # (body, kind, offset, rotm, size, friction)
         self.gravity = np.array([0.0, 0.0, -9.81])
         # Hunt-Crossley units: normal force = kn*d + kd*d*approach_speed;
         # tangential_stiffness only caps the impulse-based stiction
@@ -144,6 +145,39 @@ class ModelBuilder:
         self.geom_offset.append(np.asarray(offset, np.float64))
         self.geom_radius.append(float(radius))
         self.geom_friction.append(float(friction))
+
+    # surface kinds
+    SURF_SPHERE, SURF_BOX, SURF_CAPSULE = 0, 1, 2
+
+    def add_surface(
+        self,
+        body: int,
+        kind: int,
+        offset=(0, 0, 0),
+        rotm: Optional[np.ndarray] = None,
+        size=(0.1, 0.1, 0.1),
+        friction: float = 1.0,
+    ):
+        """Register a body-vs-body contact surface (sphere/box/capsule).
+
+        size: sphere [r,-,-]; box HALF extents; capsule [r, half_len, -].
+        Contact spheres of other actors collide against it."""
+        self.surfaces.append(
+            (
+                int(body),
+                int(kind),
+                np.asarray(offset, np.float64),
+                np.eye(3) if rotm is None else np.asarray(rotm, np.float64),
+                np.asarray(size, np.float64),
+                float(friction),
+            )
+        )
+
+    def body_actor(self, b: int) -> int:
+        """Actor index owning body b (index of its kinematic tree root)."""
+        while self.bodies[b].parent >= 0:
+            b = self.bodies[b].parent
+        return self.actor_roots.index(b)
 
     # -- finalize ----------------------------------------------------------
     def finalize(self, dtype=jnp.float32) -> SimModel:
@@ -221,5 +255,32 @@ class ModelBuilder:
             contact_stiffness=jnp.array(self.contact_stiffness, dtype),
             contact_damping=jnp.array(self.contact_damping, dtype),
             tangential_stiffness=jnp.array(self.tangential_stiffness, dtype),
+            **self._surface_fields(dtype),
         )
         return model
+
+    def _surface_fields(self, dtype):
+        """Surface arrays + cross-actor (geom sphere, surface) pair list."""
+        ns = len(self.surfaces)
+        if ns == 0:
+            return {}
+        actor_of_body = [self.body_actor(i) for i in range(len(self.bodies))]
+        pair_geom, pair_surf = [], []
+        for g, gb in enumerate(self.geom_body):
+            for s, (sb, *_rest) in enumerate(self.surfaces):
+                if actor_of_body[gb] != actor_of_body[sb]:
+                    pair_geom.append(g)
+                    pair_surf.append(s)
+        return dict(
+            surf_body=tuple(s[0] for s in self.surfaces),
+            surf_kind=tuple(s[1] for s in self.surfaces),
+            pair_geom=tuple(pair_geom),
+            pair_surf=tuple(pair_surf),
+            surf_offset=jnp.array(np.stack([s[2] for s in self.surfaces]), dtype),
+            surf_rotm=jnp.array(np.stack([s[3] for s in self.surfaces]), dtype),
+            surf_size=jnp.array(np.stack([s[4] for s in self.surfaces]), dtype),
+            surf_friction=jnp.array([s[5] for s in self.surfaces], dtype),
+            surf_meff=jnp.array(
+                [max(self.bodies[s[0]].mass, 1e-3) for s in self.surfaces], dtype
+            ),
+        )

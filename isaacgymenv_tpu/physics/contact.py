@@ -14,7 +14,9 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -137,3 +139,134 @@ def contact_forces(
 
     f_ext_world = jnp.concatenate([body_torque, body_force], axis=-1)
     return f_ext_world, body_force
+
+
+def _surface_closest(kind_arr, local, size):
+    """Closest-feature query of a point against sphere/box/capsule surfaces.
+
+    local: (..., np, 3) sphere centers in surface frame; size: (np, 3).
+    Returns (normal_local (..., np, 3) pointing AWAY from the surface,
+             signed distance from surface boundary to the point (negative
+             when the center is inside)).
+    Kinds are static per pair; all three branches are computed and selected
+    (cheap: np is small, and it keeps one fused kernel).
+    """
+    eps = 1e-9
+    # -- sphere: size[0] = R
+    dist_c = jnp.linalg.norm(local, axis=-1)
+    n_sph = local / jnp.maximum(dist_c, eps)[..., None]
+    d_sph = dist_c - size[..., 0]
+
+    # -- box: size = half extents
+    half = size
+    q = jnp.clip(local, -half, half)
+    delta = local - q
+    dist_out = jnp.linalg.norm(delta, axis=-1)
+    n_out = delta / jnp.maximum(dist_out, eps)[..., None]
+    # inside: distance to nearest face (negative signed distance)
+    face = half - jnp.abs(local)  # (..., np, 3) >= 0 when inside
+    k = jnp.argmin(face, axis=-1)
+    n_in = jnp.sign(
+        jnp.take_along_axis(local, k[..., None], axis=-1)
+    ) * jax.nn.one_hot(k, 3, dtype=local.dtype)
+    d_in = -jnp.take_along_axis(face, k[..., None], axis=-1)[..., 0]
+    inside = dist_out <= eps
+    n_box = jnp.where(inside[..., None], n_in, n_out)
+    d_box = jnp.where(inside, d_in, dist_out)
+
+    # -- capsule: size = [R, half_len]; axis = local z
+    seg_z = jnp.clip(local[..., 2], -size[..., 1], size[..., 1])
+    d_vec = local - jnp.stack(
+        [jnp.zeros_like(seg_z), jnp.zeros_like(seg_z), seg_z], axis=-1
+    )
+    dist_seg = jnp.linalg.norm(d_vec, axis=-1)
+    n_cap = d_vec / jnp.maximum(dist_seg, eps)[..., None]
+    d_cap = dist_seg - size[..., 0]
+
+    kind = kind_arr  # (np,) int
+    n = jnp.where((kind == 0)[..., None], n_sph, jnp.where((kind == 1)[..., None], n_box, n_cap))
+    d = jnp.where(kind == 0, d_sph, jnp.where(kind == 1, d_box, d_cap))
+    return n, d
+
+
+def pair_contact_forces(
+    model,
+    geom_pos_w: jnp.ndarray,   # (..., ng, 3)
+    body_pos_w: jnp.ndarray,   # (..., nb, 3)
+    body_R_w: jnp.ndarray,     # (..., nb, 3, 3)
+    body_lin_w: jnp.ndarray,   # (..., nb, 3)
+    body_ang_w: jnp.ndarray,   # (..., nb, 3)
+    h: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Body-vs-body contact via the static (sphere, surface) pair list.
+
+    Same Hunt-Crossley + momentum-capped stiction law as the ground contact;
+    equal-and-opposite forces on both bodies.  Replaces PhysX's rigid-body
+    pair contacts for the object-interaction tasks (ball_balance, shadow
+    hand cube, franka cube stacking; SURVEY.md §2.1 scene composition).
+    Returns (f_ext (..., nb, 6), body_contact_force (..., nb, 3)).
+    """
+    pg = jnp.array(model.pair_geom, jnp.int32)
+    ps = np.array(model.pair_surf)
+    gb = jnp.array([model.geom_body[g] for g in model.pair_geom], jnp.int32)
+    sb = jnp.array([model.surf_body[s] for s in model.pair_surf], jnp.int32)
+    kind = jnp.array([model.surf_kind[s] for s in model.pair_surf], jnp.int32)
+
+    c = geom_pos_w[..., pg, :]  # (..., np, 3)
+    r = model.geom_radius[pg]
+    size = model.surf_size[ps]
+    # surface frame in world
+    Rb = body_R_w[..., sb, :, :]
+    R_s = Rb @ model.surf_rotm[ps]
+    p_s = body_pos_w[..., sb, :] + jnp.einsum(
+        "...nij,...nj->...ni", Rb, jnp.broadcast_to(model.surf_offset[ps], c.shape)
+    )
+    local = jnp.einsum("...nji,...nj->...ni", R_s, c - p_s)
+    n_local, d_surf = _surface_closest(kind, local, size)
+    n = jnp.einsum("...nij,...nj->...ni", R_s, n_local)  # world, away from surf
+    depth = r - d_surf  # penetration of the sphere into the surface
+    active = depth > 0.0
+
+    # contact point: on the sphere toward the surface
+    x_c = c - n * r[..., None]
+    lever_g = x_c - body_pos_w[..., gb, :]
+    lever_s = x_c - body_pos_w[..., sb, :]
+    v_g = body_lin_w[..., gb, :] + jnp.cross(body_ang_w[..., gb, :], lever_g)
+    v_s = body_lin_w[..., sb, :] + jnp.cross(body_ang_w[..., sb, :], lever_s)
+    v_rel = v_g - v_s
+    v_n = jnp.sum(v_rel * n, axis=-1)
+    v_t = v_rel - v_n[..., None] * n
+    vt_norm = jnp.linalg.norm(v_t, axis=-1)
+
+    kn = model.contact_stiffness
+    kd = model.contact_damping
+    kt = model.tangential_stiffness
+    m_g = model.geom_meff[pg]
+    m_s = model.surf_meff[ps]
+    m_pair = m_g * m_s / (m_g + m_s)  # reduced mass of the pair
+    kappa = 0.25
+    arrest = kappa * m_pair / h
+
+    d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
+    approach = jnp.maximum(-v_n, 0.0)
+    f_damp = jnp.minimum(kd * d_pos, arrest) * approach
+    fn = kn * d_pos + f_damp
+    fn = jnp.where(active, fn, 0.0)
+
+    mu = jnp.sqrt(
+        model.geom_friction[..., pg] * model.surf_friction[ps]
+    )
+    ft_mag = jnp.minimum(jnp.minimum(arrest, kt) * vt_norm, mu * fn)
+    ft = -v_t / jnp.maximum(vt_norm, 1e-6)[..., None] * ft_mag[..., None]
+    f = fn[..., None] * n + ft  # force ON the sphere body
+
+    nb = model.nb
+    batch = f.shape[:-2]
+    body_force = jnp.zeros(batch + (nb, 3), f.dtype)
+    body_torque = jnp.zeros(batch + (nb, 3), f.dtype)
+    body_force = body_force.at[..., gb, :].add(f)
+    body_torque = body_torque.at[..., gb, :].add(jnp.cross(lever_g, f))
+    body_force = body_force.at[..., sb, :].add(-f)
+    body_torque = body_torque.at[..., sb, :].add(jnp.cross(lever_s, -f))
+    f_ext = jnp.concatenate([body_torque, body_force], axis=-1)
+    return f_ext, body_force

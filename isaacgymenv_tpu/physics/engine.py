@@ -162,6 +162,12 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     f_ext, body_cf = contact_mod.contact_forces(
         model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt
     )
+    if model.n_pairs:
+        f_pair, cf_pair = contact_mod.pair_contact_forces(
+            model, geom_pos_w, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt
+        )
+        f_ext = f_ext + f_pair
+        body_cf = body_cf + cf_pair
 
     if ctrl.body_wrench is not None:
         f_ext = f_ext + ctrl.body_wrench

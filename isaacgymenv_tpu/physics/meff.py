@@ -54,4 +54,20 @@ def attach_effective_masses(model: SimModel, q0: np.ndarray | None = None) -> Si
     # the stable bound
     counts = np.bincount(np.array(model.geom_body), minlength=model.nb)
     meff = [m / max(int(counts[model.geom_body[g]]), 1) for g, m in enumerate(meff)]
-    return model.replace(geom_meff=jnp.array(meff, jnp.float32))
+    model = model.replace(geom_meff=jnp.array(meff, jnp.float32))
+
+    # surface-side effective masses for body-vs-body pair contacts: the
+    # articulated effective mass at the surface center (same derivation)
+    if model.surf_body:
+        smeff = []
+        for s in range(len(model.surf_body)):
+            b = model.surf_body[s]
+            point_w = kin.p_w[b][0] + jnp.einsum(
+                "ij,j->i", kin.R_w[b][0], model.surf_offset[s]
+            )
+            J = kinematics.body_jacobian(model, kin, b, point_w[None])[0]
+            lam = J[0:3] @ Minv @ J[0:3].T
+            m_dir = 1.0 / jnp.maximum(jnp.diagonal(lam), 1e-6)
+            smeff.append(float(jnp.clip(jnp.min(m_dir), 1e-3, 1e4)))
+        model = model.replace(surf_meff=jnp.array(smeff, jnp.float32))
+    return model

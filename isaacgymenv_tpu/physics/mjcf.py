@@ -30,7 +30,7 @@ import numpy as np
 
 from isaacgymenv_tpu.physics import builder as B
 from isaacgymenv_tpu.physics.types import DRIVE_NONE, JT_FIXED, JT_FREE, JT_PRISMATIC, JT_REVOLUTE
-from isaacgymenv_tpu.physics.urdf import Geom, _mat_to_quat, geom_to_spheres
+from isaacgymenv_tpu.physics.urdf import Geom, _mat_to_quat, geom_to_spheres, geom_to_surface
 
 
 def _vec(s, default=None, n=None):
@@ -292,6 +292,10 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
         for g, fr in zip(geoms, geom_frictions):
             for off, r in geom_to_spheres(g):
                 mb.add_geom_sphere(body, off - shift, r, fr)
+            surf = geom_to_surface(g)
+            if surf is not None:
+                k, p_g, R_g, size = surf
+                mb.add_surface(body, k, p_g - shift, R_g, size, fr)
 
         for child in bel.findall("body"):
             saved = child.get("pos")

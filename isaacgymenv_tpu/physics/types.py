@@ -22,7 +22,7 @@ Conventions match Isaac Gym for API fidelity:
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,9 +106,28 @@ class SimModel:
     contact_damping: jnp.ndarray    # scalar
     tangential_stiffness: jnp.ndarray  # scalar
 
+    # --- body-vs-body contact: surface primitives + static pair list ---
+    # Surfaces are the "receiving" colliders (sphere/box/capsule); contact
+    # spheres (geom_*) test against surfaces of OTHER actors.  Pairs are
+    # enumerated at build time (builder.finalize) — no broadphase needed at
+    # the scales of the reference's scenes (hand+cube, ball+tray, ...).
+    surf_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    surf_kind: Tuple[int, ...] = struct.field(pytree_node=False, default=())  # 0 sphere, 1 box, 2 capsule
+    pair_geom: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    pair_surf: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    surf_offset: Optional[jnp.ndarray] = None  # (ns, 3) body-frame position
+    surf_rotm: Optional[jnp.ndarray] = None    # (ns, 3, 3) body-frame rotation
+    surf_size: Optional[jnp.ndarray] = None    # (ns, 3): sphere [r,-,-]; box half-extents; capsule [r, half_len, -]
+    surf_friction: Optional[jnp.ndarray] = None  # (ns,)
+    surf_meff: Optional[jnp.ndarray] = None      # (ns,) effective mass at surface
+
     @property
     def ng(self) -> int:
         return len(self.geom_body)
+
+    @property
+    def n_pairs(self) -> int:
+        return len(self.pair_geom)
 
     @property
     def n_actors(self) -> int:

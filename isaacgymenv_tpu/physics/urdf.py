@@ -383,6 +383,22 @@ def geom_to_spheres(g: Geom, friction: float = 1.0):
     return out
 
 
+def geom_to_surface(g: Geom):
+    """Geom -> body-vs-body contact surface spec (kind, offset, rotm, size)."""
+    if g.kind == "sphere":
+        return B.ModelBuilder.SURF_SPHERE, g.p, g.R, np.array([float(g.size[0]), 0.0, 0.0])
+    if g.kind == "box":
+        return B.ModelBuilder.SURF_BOX, g.p, g.R, np.asarray(g.size[:3], np.float64) / 2.0
+    if g.kind in ("cylinder", "capsule"):
+        return (
+            B.ModelBuilder.SURF_CAPSULE,
+            g.p,
+            g.R,
+            np.array([float(g.size[0]), float(g.size[1]) / 2.0, 0.0]),
+        )
+    return None
+
+
 def load_urdf(
     path: str,
     opts: Optional[AssetOptions] = None,
@@ -483,6 +499,10 @@ def load_urdf(
         for g in link.geoms:
             for off, r in geom_to_spheres(g):
                 mb.add_geom_sphere(body, off, r, friction)
+            surf = geom_to_surface(g)
+            if surf is not None:
+                k, p_g, R_g, size = surf
+                mb.add_surface(body, k, p_g, R_g, size, friction)
         _descend(link_name, body, np.eye(3), np.zeros(3))
         return body
 
@@ -508,6 +528,12 @@ def load_urdf(
         for g in link.geoms:
             for off, r in geom_to_spheres(g):
                 mb.add_geom_sphere(body, p_in_body + R_in_body @ off, r, friction)
+            surf = geom_to_surface(g)
+            if surf is not None:
+                k, p_g, R_g, size = surf
+                mb.add_surface(
+                    body, k, p_in_body + R_in_body @ p_g, R_in_body @ R_g, size, friction
+                )
         _descend(link_name, body, R_in_body, p_in_body)
 
     def _descend(link_name: str, body: int, R_acc, p_acc):

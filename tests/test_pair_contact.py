@@ -1,0 +1,113 @@
+"""Body-vs-body pair contacts (sphere-vs-sphere/box/capsule).
+
+Static-rest and momentum sanity for the pairwise penalty contacts that
+replace PhysX rigid-body pair contacts (ball_balance / shadow_hand / franka
+object interaction scenes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isaacgymenv_tpu.physics import builder as B
+from isaacgymenv_tpu.physics import engine
+from isaacgymenv_tpu.physics.types import JT_FIXED, JT_FREE, make_zero_state
+
+
+def _ball(mb, z, name="ball", r=0.1, m=1.0):
+    b = mb.add_body(name, -1, JT_FREE, joint_pos=(0, 0, 0),
+                    mass=m, inertia=B.sphere_inertia(m, r))
+    mb.add_geom_sphere(b, (0, 0, 0), r)
+    mb.add_surface(b, B.ModelBuilder.SURF_SPHERE, (0, 0, 0), None, (r, 0, 0))
+    return b
+
+
+def _step_n(model, state, n, dt=1 / 60, substeps=4):
+    ctrl = engine.Control.zero(model, state.q.shape[0])
+    step = jax.jit(lambda s: engine.step(model, None, s, ctrl, dt, substeps))
+    for _ in range(n):
+        state = step(state)
+    return state
+
+
+def test_ball_rests_on_fixed_box():
+    mb = B.ModelBuilder()
+    # static table: fixed root body with a box surface, top at z = 0.5
+    table = mb.add_body("table", -1, JT_FIXED, joint_pos=(0, 0, 0.4), mass=10.0,
+                        inertia=B.box_inertia(10.0, 1.0, 1.0, 0.2))
+    mb.add_surface(table, B.ModelBuilder.SURF_BOX, (0, 0, 0), None, (0.5, 0.5, 0.1))
+    ball = _ball(mb, 0.7)
+    model = mb.finalize()
+    assert model.n_pairs == 1  # ball sphere vs table box
+
+    state = make_zero_state(model, 2)
+    state = state.replace(q=state.q.at[:, 2].set(0.7))  # drop from just above
+    state = _step_n(model, state, 120)
+    z = np.asarray(state.q[:, 2])
+    # rest height = table top (0.5) + radius (0.1), minus penalty compression
+    assert np.all(np.abs(z - 0.6) < 0.02), z
+    vz = np.asarray(state.qd[:, 5])
+    assert np.all(np.abs(vz) < 0.05), vz
+
+
+def test_ball_rolls_off_fixed_sphere():
+    mb = B.ModelBuilder()
+    post = mb.add_body("post", -1, JT_FIXED, joint_pos=(0, 0, 0.5), mass=10.0,
+                       inertia=B.sphere_inertia(10.0, 0.2))
+    mb.add_surface(post, B.ModelBuilder.SURF_SPHERE, (0, 0, 0), None, (0.2, 0, 0))
+    _ball(mb, 0.0)
+    model = mb.finalize()
+    state = make_zero_state(model, 1)
+    # slightly off-axis above the post: must slide off sideways
+    state = state.replace(q=state.q.at[0, 0].set(0.02).at[0, 2].set(0.85))
+    state = _step_n(model, state, 90)
+    x = float(state.q[0, 0])
+    assert x > 0.05, x  # pushed off-axis by the sphere-sphere normal
+
+
+def test_cube_rests_on_fixed_box():
+    mb = B.ModelBuilder()
+    table = mb.add_body("table", -1, JT_FIXED, joint_pos=(0, 0, 0.4), mass=10.0,
+                        inertia=B.box_inertia(10.0, 1.0, 1.0, 0.2))
+    mb.add_surface(table, B.ModelBuilder.SURF_BOX, (0, 0, 0), None, (0.5, 0.5, 0.1))
+    m = 0.5
+    half = 0.05
+    cube = mb.add_body("cube", -1, JT_FREE, mass=m,
+                       inertia=B.box_inertia(m, 2 * half, 2 * half, 2 * half))
+    # 8 inset corner spheres, mirroring geom_to_spheres' box conversion
+    r = half / 2
+    for dx in (-1, 1):
+        for dy in (-1, 1):
+            for dz in (-1, 1):
+                mb.add_geom_sphere(cube, (dx * (half - r), dy * (half - r), dz * (half - r)), r)
+    mb.add_surface(cube, B.ModelBuilder.SURF_BOX, (0, 0, 0), None, (half, half, half))
+    model = mb.finalize()
+
+    state = make_zero_state(model, 2)
+    state = state.replace(q=state.q.at[:, 2].set(0.62))
+    state = _step_n(model, state, 120)
+    z = np.asarray(state.q[:, 2])
+    # rest: top (0.5) + half (0.05) with corner spheres inset by r -> the
+    # corner spheres rest at top + r, cube center at top + half
+    assert np.all(np.abs(z - 0.55) < 0.02), z
+    quat = np.asarray(state.q[:, 3:7])
+    assert np.all(np.abs(quat[:, 3]) > 0.99), quat  # stayed upright
+
+
+def test_capsule_surface_contact():
+    mb = B.ModelBuilder()
+    bar = mb.add_body("bar", -1, JT_FIXED, joint_pos=(0, 0, 0.5), mass=5.0,
+                      inertia=B.cylinder_inertia(5.0, 0.05, 0.8))
+    # capsule along local z; rotate to lie along x: R maps z->x
+    Rzx = np.array([[0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]])
+    mb.add_surface(bar, B.ModelBuilder.SURF_CAPSULE, (0, 0, 0), Rzx, (0.05, 0.4, 0))
+    _ball(mb, 0.0)
+    model = mb.finalize()
+    state = make_zero_state(model, 1)
+    state = state.replace(q=state.q.at[0, 2].set(0.8))
+    state = _step_n(model, state, 60)
+    # ball must have bounced/slid off the bar, not fallen through it
+    z = float(state.q[0, 2])
+    x = abs(float(state.q[0, 0])) + abs(float(state.q[0, 1]))
+    assert z < 0.7
+    assert x > 0.01 or z > 0.55  # deflected sideways or still on top
