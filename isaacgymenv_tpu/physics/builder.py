@@ -98,6 +98,7 @@ class ModelBuilder:
         self.geom_radius: List[float] = []
         self.geom_friction: List[float] = []
         self.surfaces: List[tuple] = []  # (body, kind, offset, rotm, size, friction)
+        self.anchors: List[tuple] = []   # (body, offset, world target)
         self.gravity = np.array([0.0, 0.0, -9.81])
         # Hunt-Crossley units: normal force = kn*d + kd*d*approach_speed;
         # tangential_stiffness only caps the impulse-based stiction
@@ -147,7 +148,13 @@ class ModelBuilder:
         self.geom_friction.append(float(friction))
 
     # surface kinds
-    SURF_SPHERE, SURF_BOX, SURF_CAPSULE = 0, 1, 2
+    SURF_SPHERE, SURF_BOX, SURF_CAPSULE, SURF_CYLINDER = 0, 1, 2, 3
+
+    def add_anchor(self, body: int, offset=(0, 0, 0), target=(0, 0, 0)):
+        """Pin a body point to a world target (attractor equivalent)."""
+        self.anchors.append(
+            (int(body), np.asarray(offset, np.float64), np.asarray(target, np.float64))
+        )
 
     def add_surface(
         self,
@@ -256,8 +263,21 @@ class ModelBuilder:
             contact_damping=jnp.array(self.contact_damping, dtype),
             tangential_stiffness=jnp.array(self.tangential_stiffness, dtype),
             **self._surface_fields(dtype),
+            **self._anchor_fields(dtype),
         )
         return model
+
+    def _anchor_fields(self, dtype):
+        if not self.anchors:
+            return {}
+        return dict(
+            anchor_body=tuple(a[0] for a in self.anchors),
+            anchor_offset=jnp.array(np.stack([a[1] for a in self.anchors]), dtype),
+            anchor_target=jnp.array(np.stack([a[2] for a in self.anchors]), dtype),
+            anchor_meff=jnp.array(
+                [max(self.bodies[a[0]].mass, 1e-3) for a in self.anchors], dtype
+            ),
+        )
 
     def _surface_fields(self, dtype):
         """Surface arrays + cross-actor (geom sphere, surface) pair list."""

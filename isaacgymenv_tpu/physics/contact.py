@@ -183,9 +183,41 @@ def _surface_closest(kind_arr, local, size):
     n_cap = d_vec / jnp.maximum(dist_seg, eps)[..., None]
     d_cap = dist_seg - size[..., 0]
 
+    # -- capped cylinder: size = [R, half_len]; axis = local z (flat caps —
+    # the ball_balance tray is a disc, ref: ball_balance.py:162-166)
+    rho = jnp.linalg.norm(local[..., 0:2], axis=-1)
+    radial_dir = local[..., 0:2] / jnp.maximum(rho, eps)[..., None]
+    dr = rho - size[..., 0]
+    dz = jnp.abs(local[..., 2]) - size[..., 1]
+    out_r = jnp.maximum(dr, 0.0)
+    out_z = jnp.maximum(dz, 0.0)
+    d_out = jnp.sqrt(out_r * out_r + out_z * out_z)
+    d_in = jnp.maximum(dr, dz)  # negative inside
+    d_cyl = jnp.where(d_in < 0, d_in, d_out)
+    sz = jnp.sign(local[..., 2])
+    n_out_vec = jnp.concatenate(
+        [out_r[..., None] * radial_dir, (out_z * sz)[..., None]], axis=-1
+    )
+    n_out_cyl = n_out_vec / jnp.maximum(d_out, eps)[..., None]
+    # inside: nearest feature is the cap when dz > dr
+    n_cap_in = jnp.concatenate(
+        [jnp.zeros_like(radial_dir), sz[..., None]], axis=-1
+    )
+    n_rad_in = jnp.concatenate(
+        [radial_dir, jnp.zeros_like(sz)[..., None]], axis=-1
+    )
+    n_in_cyl = jnp.where((dz > dr)[..., None], n_cap_in, n_rad_in)
+    n_cyl = jnp.where((d_in < 0)[..., None], n_in_cyl, n_out_cyl)
+
     kind = kind_arr  # (np,) int
-    n = jnp.where((kind == 0)[..., None], n_sph, jnp.where((kind == 1)[..., None], n_box, n_cap))
-    d = jnp.where(kind == 0, d_sph, jnp.where(kind == 1, d_box, d_cap))
+    n = n_cap
+    n = jnp.where((kind == 0)[..., None], n_sph, n)
+    n = jnp.where((kind == 1)[..., None], n_box, n)
+    n = jnp.where((kind == 3)[..., None], n_cyl, n)
+    d = d_cap
+    d = jnp.where(kind == 0, d_sph, d)
+    d = jnp.where(kind == 1, d_box, d)
+    d = jnp.where(kind == 3, d_cyl, d)
     return n, d
 
 
@@ -270,3 +302,41 @@ def pair_contact_forces(
     body_torque = body_torque.at[..., sb, :].add(jnp.cross(lever_s, -f))
     f_ext = jnp.concatenate([body_torque, body_force], axis=-1)
     return f_ext, body_force
+
+
+def anchor_forces(
+    model,
+    body_pos_w: jnp.ndarray,
+    body_R_w: jnp.ndarray,
+    body_lin_w: jnp.ndarray,
+    body_ang_w: jnp.ndarray,
+    h: float,
+) -> jnp.ndarray:
+    """Translation point constraints pinning body points to world targets.
+
+    PhysX attractor equivalent (ref: ball_balance.py:305-318, stiffness 5e7
+    translation-only).  Implemented as the stiffest spring-damper stable at
+    the substep size: f = -(kp*m/h^2) d - (kd*m/h) v — Baumgarte-style soft
+    constraint, unconditionally stable with no tuning.
+    Returns f_ext (..., nb, 6) world [moment, force] about body origins.
+    """
+    ab = jnp.array(model.anchor_body, jnp.int32)
+    off = model.anchor_offset
+    Rb = body_R_w[..., ab, :, :]
+    p = body_pos_w[..., ab, :] + jnp.einsum(
+        "...nij,...nj->...ni", Rb, jnp.broadcast_to(off, body_pos_w[..., ab, :].shape)
+    )
+    lever = p - body_pos_w[..., ab, :]
+    v = body_lin_w[..., ab, :] + jnp.cross(body_ang_w[..., ab, :], lever)
+    m = model.anchor_meff
+    kp = 0.2 * m / (h * h)
+    kd = 0.7 * m / h
+    f = -kp[..., None] * (p - model.anchor_target) - kd[..., None] * v
+
+    nb = model.nb
+    batch = f.shape[:-2]
+    body_force = jnp.zeros(batch + (nb, 3), f.dtype).at[..., ab, :].add(f)
+    body_torque = jnp.zeros(batch + (nb, 3), f.dtype).at[..., ab, :].add(
+        jnp.cross(lever, f)
+    )
+    return jnp.concatenate([body_torque, body_force], axis=-1)

@@ -168,6 +168,10 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         )
         f_ext = f_ext + f_pair
         body_cf = body_cf + cf_pair
+    if model.anchor_body:
+        f_ext = f_ext + contact_mod.anchor_forces(
+            model, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt
+        )
 
     if ctrl.body_wrench is not None:
         f_ext = f_ext + ctrl.body_wrench

@@ -112,7 +112,7 @@ class SimModel:
     # enumerated at build time (builder.finalize) — no broadphase needed at
     # the scales of the reference's scenes (hand+cube, ball+tray, ...).
     surf_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
-    surf_kind: Tuple[int, ...] = struct.field(pytree_node=False, default=())  # 0 sphere, 1 box, 2 capsule
+    surf_kind: Tuple[int, ...] = struct.field(pytree_node=False, default=())  # 0 sphere, 1 box, 2 capsule, 3 cylinder
     pair_geom: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     pair_surf: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     surf_offset: Optional[jnp.ndarray] = None  # (ns, 3) body-frame position
@@ -120,6 +120,15 @@ class SimModel:
     surf_size: Optional[jnp.ndarray] = None    # (ns, 3): sphere [r,-,-]; box half-extents; capsule [r, half_len, -]
     surf_friction: Optional[jnp.ndarray] = None  # (ns,)
     surf_meff: Optional[jnp.ndarray] = None      # (ns,) effective mass at surface
+
+    # --- world anchors: translation point constraints (PhysX attractor
+    # equivalent, ref: ball_balance.py:305-318 create_rigid_body_attractor).
+    # Implemented as momentum-capped spring-dampers — the max gain stable at
+    # the substep size, instead of the reference's 5e7 raw stiffness.
+    anchor_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    anchor_offset: Optional[jnp.ndarray] = None  # (na, 3) body-frame point
+    anchor_target: Optional[jnp.ndarray] = None  # (na, 3) world target
+    anchor_meff: Optional[jnp.ndarray] = None    # (na,)
 
     @property
     def ng(self) -> int:

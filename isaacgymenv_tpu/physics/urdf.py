@@ -390,8 +390,13 @@ def geom_to_surface(g: Geom):
     if g.kind == "box":
         return B.ModelBuilder.SURF_BOX, g.p, g.R, np.asarray(g.size[:3], np.float64) / 2.0
     if g.kind in ("cylinder", "capsule"):
+        kind = (
+            B.ModelBuilder.SURF_CAPSULE
+            if g.kind == "capsule"
+            else B.ModelBuilder.SURF_CYLINDER
+        )
         return (
-            B.ModelBuilder.SURF_CAPSULE,
+            kind,
             g.p,
             g.R,
             np.array([float(g.size[0]), float(g.size[1]) / 2.0, 0.0]),
