@@ -99,6 +99,7 @@ class ModelBuilder:
         self.geom_friction: List[float] = []
         self.surfaces: List[tuple] = []  # (body, kind, offset, rotm, size, friction)
         self.anchors: List[tuple] = []   # (body, offset, world target)
+        self.tendons: List[tuple] = []   # (joint names, coefs, lo, hi, k, d)
         self.gravity = np.array([0.0, 0.0, -9.81])
         # Hunt-Crossley units: normal force = kn*d + kd*d*approach_speed;
         # tangential_stiffness only caps the impulse-based stiction
@@ -150,6 +151,12 @@ class ModelBuilder:
     # surface kinds
     SURF_SPHERE, SURF_BOX, SURF_CAPSULE, SURF_CYLINDER = 0, 1, 2, 3
 
+    def add_tendon(self, joint_names, coefs, lo: float, hi: float, k: float = 30.0, d: float = 0.1):
+        """Fixed tendon L = sum(coef*q) limited to [lo, hi] (spring outside).
+
+        joint_names are resolved to dof indices at finalize."""
+        self.tendons.append((tuple(joint_names), tuple(float(c) for c in coefs), lo, hi, k, d))
+
     def add_anchor(self, body: int, offset=(0, 0, 0), target=(0, 0, 0)):
         """Pin a body point to a world target (attractor equivalent)."""
         self.anchors.append(
@@ -179,6 +186,29 @@ class ModelBuilder:
                 float(friction),
             )
         )
+
+    def merge(self, other: "ModelBuilder") -> int:
+        """Append another builder's actors into this scene (the equivalent of
+        multiple create_actor calls per env; ref: shadow_hand.py:358-393 hand
+        + object + goal actors).  Returns the body-index offset."""
+        off = len(self.bodies)
+        for b in other.bodies:
+            import copy as _copy
+
+            b2 = _copy.copy(b)
+            b2.parent = b.parent + off if b.parent >= 0 else -1
+            self.bodies.append(b2)
+        self.actor_roots += [r + off for r in other.actor_roots]
+        self.geom_body += [g + off for g in other.geom_body]
+        self.geom_offset += list(other.geom_offset)
+        self.geom_radius += list(other.geom_radius)
+        self.geom_friction += list(other.geom_friction)
+        self.surfaces += [
+            (s[0] + off, s[1], s[2], s[3], s[4], s[5]) for s in other.surfaces
+        ]
+        self.anchors += [(a[0] + off, a[1], a[2]) for a in other.anchors]
+        self.tendons += list(other.tendons)  # joint names stay valid
+        return off
 
     def body_actor(self, b: int) -> int:
         """Actor index owning body b (index of its kinematic tree root)."""
@@ -264,8 +294,24 @@ class ModelBuilder:
             tangential_stiffness=jnp.array(self.tangential_stiffness, dtype),
             **self._surface_fields(dtype),
             **self._anchor_fields(dtype),
+            **self._tendon_fields(dof_names, dtype),
         )
         return model
+
+    def _tendon_fields(self, dof_names, dtype):
+        if not self.tendons:
+            return {}
+        td, tc = [], []
+        for names, coefs, lo, hi, k, d in self.tendons:
+            td.append(tuple(dof_names.index(n) for n in names))
+            tc.append(coefs)
+        return dict(
+            tendon_dof=tuple(td),
+            tendon_coef=jnp.array(tc, dtype),
+            tendon_range=jnp.array([[t[2], t[3]] for t in self.tendons], dtype),
+            tendon_k=jnp.array([t[4] for t in self.tendons], dtype),
+            tendon_d=jnp.array([t[5] for t in self.tendons], dtype),
+        )
 
     def _anchor_fields(self, dtype):
         if not self.anchors:

@@ -110,11 +110,14 @@ def contact_forces(
     # light bodies (nv_ant feet are 50 g) with NO per-task damping tuning.
     kappa = 0.25
     arrest = kappa * model.geom_meff / h  # N per (m/s)
+    # elastic stiffness is capped the same way (k < kappa*m/h^2 is the
+    # explicit-integration stability bound for arbitrarily light bodies)
+    kn_eff = jnp.minimum(kn, kappa * model.geom_meff / (h * h))
 
     d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
     approach = jnp.maximum(-v_n, 0.0)
     f_damp = jnp.minimum(kd * d_pos, arrest) * approach
-    fn = kn * d_pos + f_damp
+    fn = kn_eff * d_pos + f_damp
     fn = jnp.where(active, fn, 0.0)
 
     mu = model.geom_friction
@@ -278,11 +281,12 @@ def pair_contact_forces(
     m_pair = m_g * m_s / (m_g + m_s)  # reduced mass of the pair
     kappa = 0.25
     arrest = kappa * m_pair / h
+    kn_eff = jnp.minimum(kn, kappa * m_pair / (h * h))
 
     d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
     approach = jnp.maximum(-v_n, 0.0)
     f_damp = jnp.minimum(kd * d_pos, arrest) * approach
-    fn = kn * d_pos + f_damp
+    fn = kn_eff * d_pos + f_damp
     fn = jnp.where(active, fn, 0.0)
 
     mu = jnp.sqrt(

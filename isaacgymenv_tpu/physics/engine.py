@@ -85,7 +85,8 @@ def actuation_force(model: SimModel, dof_pos, dof_vel, ctrl: Control):
 
 
 def passive_force(model: SimModel, dof_pos, dof_vel):
-    """Soft joint-limit springs + regularized Coulomb joint friction."""
+    """Soft joint-limit springs + regularized Coulomb joint friction +
+    passive joint damping (drive-less modes) + fixed-tendon limits."""
     below = jnp.minimum(dof_pos - model.dof_lower, 0.0)
     above = jnp.maximum(dof_pos - model.dof_upper, 0.0)
     has_limit = model.dof_has_limit
@@ -96,7 +97,24 @@ def passive_force(model: SimModel, dof_pos, dof_vel):
         0.0,
     )
     tau_fric = -model.dof_friction * jnp.tanh(dof_vel / _FRICTION_VEL_EPS)
-    return tau_lim + tau_fric
+    # MJCF-style passive joint damping: for POS/VEL drives the damping acts
+    # inside the drive (actuation_force); for NONE/EFFORT it is passive
+    # (shadow hand's 4 tendon-coupled distal joints are damped but driveless)
+    mode = model.dof_drive_mode
+    passive_damped = (mode == DRIVE_NONE) | (mode == DRIVE_EFFORT)
+    tau_damp = jnp.where(passive_damped, -model.dof_damping * dof_vel, 0.0)
+    tau = tau_lim + tau_fric + tau_damp
+    if model.tendon_dof:
+        td = jnp.array(model.tendon_dof, jnp.int32)  # (nt, k)
+        tc = model.tendon_coef
+        L = jnp.sum(dof_pos[..., td] * tc, axis=-1)
+        Ld = jnp.sum(dof_vel[..., td] * tc, axis=-1)
+        lo, hi = model.tendon_range[..., 0], model.tendon_range[..., 1]
+        viol = jnp.maximum(L - hi, 0.0) + jnp.minimum(L - lo, 0.0)
+        f_t = -model.tendon_k * viol - model.tendon_d * Ld * (jnp.abs(viol) > 0)
+        # generalized force: dL/dq = coef
+        tau = tau.at[..., td].add(f_t[..., None] * tc)
+    return tau
 
 
 def _implicit_drive_terms(model: SimModel, h: float, dof_pos: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +132,9 @@ def _implicit_drive_terms(model: SimModel, h: float, dof_pos: jnp.ndarray) -> jn
     """
     mode = model.dof_drive_mode
     kp = jnp.where(mode == DRIVE_POS, model.dof_stiffness, 0.0)
-    kd = jnp.where((mode == DRIVE_POS) | (mode == DRIVE_VEL), model.dof_damping, 0.0)
+    # damping is implicit in every mode: drive damping for POS/VEL, passive
+    # joint damping for NONE/EFFORT (see passive_force)
+    kd = model.dof_damping
     at_limit = model.dof_has_limit & (
         (dof_pos < model.dof_lower) | (dof_pos > model.dof_upper)
     )

@@ -72,7 +72,10 @@ def _euler_to_mat(euler_rad):
     Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
     Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
     Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
-    return Rz @ Ry @ Rx  # MuJoCo default eulerseq "xyz" extrinsic == Rz Ry Rx
+    # MuJoCo lowercase eulerseq "xyz": rotations composed in sequence about
+    # the CURRENT (moving) axes -> R = Rx @ Ry @ Rz (mjCompiler euler2quat
+    # right-multiplies q *= rot(axis_i) for lowercase entries)
+    return Rx @ Ry @ Rz
 
 
 @dataclass
@@ -80,6 +83,28 @@ class MJCFOptions:
     fix_base_link: bool = False
     armature_scale: float = 1.0
     default_density: float = 1000.0
+    # world placement of a fixed root body (replaces the MJCF root body pos,
+    # like create_actor's start pose; rotation from the MJCF is kept)
+    base_pos: Optional[Tuple[float, float, float]] = None
+
+
+def _inline_includes(root: ET.Element, base_dir: str) -> None:
+    """Recursively replace <include file=.../> with the file's root children
+    (MJCF include semantics; used by the OpenAI shadow hand assets)."""
+    changed = True
+    while changed:
+        changed = False
+        for parent in list(root.iter()):
+            for idx, ch in enumerate(list(parent)):
+                if ch.tag != "include":
+                    continue
+                sub = ET.parse(os.path.join(base_dir, ch.get("file"))).getroot()
+                pos = list(parent).index(ch)
+                parent.remove(ch)
+                for j, sc in enumerate(list(sub)):
+                    parent.insert(pos + j, sc)
+                changed = True
+                break
 
 
 def _body_frame_attrs(el, angle_scale):
@@ -143,6 +168,7 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
     opts = opts or MJCFOptions()
     tree = ET.parse(path)
     root = tree.getroot()
+    _inline_includes(root, os.path.dirname(os.path.abspath(path)))
 
     compiler = root.find("compiler")
     angle_scale = 1.0
@@ -152,7 +178,7 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
     # defaults (flat + per-class)
     def collect_defaults(el, inherited):
         out = dict(inherited)
-        for tag in ("joint", "geom", "motor"):
+        for tag in ("joint", "geom", "motor", "position"):
             d = el.find(tag)
             if d is not None:
                 out[tag] = {**out.get(tag, {}), **d.attrib}
@@ -164,27 +190,28 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
             classes.update(sub_classes)
         return out, classes
 
-    defaults: Dict[str, dict] = {"joint": {}, "geom": {}, "motor": {}}
+    defaults: Dict[str, dict] = {"joint": {}, "geom": {}, "motor": {}, "position": {}}
     classes: Dict[str, dict] = {}
-    droot = root.find("default")
-    if droot is not None:
-        defaults, classes = collect_defaults(droot, defaults)
+    for droot in root.findall("default"):
+        defaults, new_classes = collect_defaults(droot, defaults)
+        classes.update(new_classes)
 
     mb = B.ModelBuilder()
     info: Dict[str, object] = {"link_body": {}, "dof_joints": [], "init_qpos": None}
     joint_meta: Dict[str, dict] = {}  # name -> {dof index-to-be, armature, ...}
 
-    def jdef(el):
-        cls = el.get("class")
+    def jdef(el, childclass=None):
+        cls = el.get("class") or childclass
         base = classes.get(cls, defaults).get("joint", {}) if cls else defaults.get("joint", {})
         return {**base, **el.attrib}
 
-    def gdef_for(el):
-        cls = el.get("class")
+    def gdef_for(el, childclass=None):
+        cls = el.get("class") or childclass
         return classes.get(cls, defaults).get("geom", {}) if cls else defaults.get("geom", {})
 
-    def process_body(bel, parent_idx, is_root):
+    def process_body(bel, parent_idx, is_root, childclass=None):
         name = bel.get("name", f"body{len(mb.bodies)}")
+        childclass = bel.get("childclass", childclass)
         R_b, p_b = _body_frame_attrs(bel, angle_scale)
         quat_b = _mat_to_quat(R_b)
 
@@ -196,24 +223,47 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
         geom_frictions: List[float] = []
         densities: List[float] = []
         for gel in bel.findall("geom"):
-            gd = gdef_for(gel)
+            gd = gdef_for(gel, childclass)
+            attrs = {**gd, **gel.attrib}
+            if attrs.get("contype", "1") == "0":
+                continue  # visual-only geom (e.g. shadow hand D_Vizual class)
             g = _geom_from_el(gel, gd, angle_scale)
             if g is None:
                 continue
             geoms.append(g)
-            attrs = {**gd, **gel.attrib}
             densities.append(float(attrs.get("density", opts.default_density)))
             fr = _vec(attrs.get("friction"), (1.0, 0.005, 0.0001))
             geom_frictions.append(float(fr[0]))
 
-        mass_tot, com, I_tot = 0.0, np.zeros(3), np.zeros((3, 3))
-        props = [_geom_mass_props(g, d) for g, d in zip(geoms, densities)]
-        mass_tot = sum(p[0] for p in props)
-        if mass_tot > 0:
-            com = sum(p[0] * p[1] for p in props) / mass_tot
-            for m_g, p_g, I_g in props:
-                d = p_g - com
-                I_tot += I_g + m_g * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+        # explicit <inertial> wins over geom-derived mass (the OpenAI hand
+        # specifies inertials everywhere; its collision geoms are thin shells)
+        inertial = bel.find("inertial")
+        if inertial is not None:
+            mass_tot = float(inertial.get("mass", 0.0))
+            com = _vec(inertial.get("pos"), (0, 0, 0))
+            if inertial.get("diaginertia") is not None:
+                di = np.diag(_vec(inertial.get("diaginertia"), (1e-5,) * 3))
+            elif inertial.get("fullinertia") is not None:
+                fi = _vec(inertial.get("fullinertia"), (1e-5,) * 6, n=6)
+                di = np.array(
+                    [[fi[0], fi[3], fi[4]], [fi[3], fi[1], fi[5]], [fi[4], fi[5], fi[2]]]
+                )
+            else:
+                di = np.eye(3) * 1e-5
+            if inertial.get("quat") is not None:
+                R_i = _quat_to_mat(_quat_wxyz_to_xyzw(_vec(inertial.get("quat"), (1, 0, 0, 0))))
+                I_tot = R_i @ di @ R_i.T
+            else:
+                I_tot = di
+        else:
+            mass_tot, com, I_tot = 0.0, np.zeros(3), np.zeros((3, 3))
+            props = [_geom_mass_props(g, d) for g, d in zip(geoms, densities)]
+            mass_tot = sum(p[0] for p in props)
+            if mass_tot > 0:
+                com = sum(p[0] * p[1] for p in props) / mass_tot
+                for m_g, p_g, I_g in props:
+                    d = p_g - com
+                    I_tot += I_g + m_g * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
 
         # joint chain: free joint, or K hinges/slides via phantom bodies
         if freejoint is not None or (is_root and not joints and not opts.fix_base_link):
@@ -227,9 +277,16 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
             )
             info.setdefault("init_root", {})[name] = (p_b, _mat_to_quat(R_b))
         elif not joints:
+            # fixed root: base_pos (the create_actor start pose) replaces the
+            # MJCF world position; the MJCF rotation is kept
+            jp = (
+                np.asarray(opts.base_pos, np.float64)
+                if (is_root and opts.base_pos is not None)
+                else p_b
+            )
             body = mb.add_body(
                 name, parent_idx, JT_FIXED,
-                joint_pos=p_b, joint_quat=quat_b,
+                joint_pos=jp, joint_quat=quat_b,
                 mass=mass_tot, com=com, inertia=I_tot,
                 joint_name=f"{name}_fixed",
             )
@@ -243,7 +300,7 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
             cur_parent = parent_idx
             prev_origin = None  # origin of previous frame, in B coords
             for k, jel in enumerate(joints):
-                attrs = jdef(jel)
+                attrs = jdef(jel, childclass)
                 jname = attrs.get("name", f"{name}_j{k}")
                 jt = JT_REVOLUTE if attrs.get("type", "hinge") == "hinge" else JT_PRISMATIC
                 axis = _vec(attrs.get("axis"), (0, 0, 1))
@@ -301,7 +358,7 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
             saved = child.get("pos")
             _, p_c = _body_frame_attrs(child, angle_scale)
             child.set("pos", " ".join(str(v) for v in (p_c - shift)))
-            process_body(child, body, False)
+            process_body(child, body, False, childclass)
             if saved is not None:
                 child.set("pos", saved)
             else:
@@ -315,15 +372,47 @@ def load_mjcf(path: str, opts: Optional[MJCFOptions] = None):
 
     # actuators: gear per dof, in actuator order
     gears, actuator_dofs = [], []
-    act = root.find("actuator")
-    dof_names_order: List[str] = info["dof_joints"]  # type: ignore
-    if act is not None:
+    position_actuators = []  # (joint, kp, force_hi) in actuator order
+    for act in root.findall("actuator"):
         for mel in act.findall("motor"):
             jn = mel.get("joint")
             gears.append(float(mel.get("gear", defaults.get("motor", {}).get("gear", 1.0))))
             actuator_dofs.append(jn)
+        for pel in act.findall("position"):
+            cls = pel.get("class")
+            base = classes.get(cls, defaults).get("position", {}) if cls else defaults.get("position", {})
+            attrs = {**base, **pel.attrib}
+            jn = attrs.get("joint")
+            kp = float(attrs.get("kp", 1.0))
+            fr = _vec(attrs.get("forcerange"), (-1e9, 1e9), n=2)
+            position_actuators.append((jn, kp, float(fr[1])))
+            # wire PD drive into the joint's dof (PhysX maps MJCF position
+            # actuators to DOF_MODE_POS drives; ref shadow_hand.py:248
+            # "DOF mode is set in the MJCF file")
+            meta = joint_meta.get(jn)
+            if meta is not None:
+                from isaacgymenv_tpu.physics.types import DRIVE_POS
+
+                b = mb.bodies[meta["body"]]
+                b.drive_mode = DRIVE_POS
+                b.stiffness = kp
+                b.effort = min(b.effort, float(fr[1])) if b.effort else float(fr[1])
     info["gears"] = np.array(gears)
     info["actuator_joints"] = actuator_dofs
+    info["position_actuators"] = position_actuators
+
+    # fixed tendons with >1 joint: linear coupling limits (shadow hand
+    # distal pairs); single-joint fixed tendons duplicate joint limits and
+    # are skipped
+    for tend in root.findall("tendon"):
+        for fel in tend.findall("fixed"):
+            jels = fel.findall("joint")
+            if len(jels) < 2:
+                continue
+            names = [j.get("joint") for j in jels]
+            coefs = [float(j.get("coef", 1.0)) for j in jels]
+            rng = _vec(fel.get("range"), (0, 0), n=2)
+            mb.add_tendon(names, coefs, float(rng[0]), float(rng[1]))
 
     # init qpos from <custom><numeric name="init_qpos"> (MJCF order:
     # root pos3 + root quat wxyz + joint angles)

@@ -130,6 +130,15 @@ class SimModel:
     anchor_target: Optional[jnp.ndarray] = None  # (na, 3) world target
     anchor_meff: Optional[jnp.ndarray] = None    # (na,)
 
+    # --- fixed tendons: linear couplings L = sum(coef * q) with range
+    # limits (MJCF <tendon><fixed>; shadow hand distal-joint coupling,
+    # ref: shadow_hand.py:260-271 tendon limit_stiffness setup) ---
+    tendon_dof: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False, default=())  # (nt, 2)
+    tendon_coef: Optional[jnp.ndarray] = None   # (nt, 2)
+    tendon_range: Optional[jnp.ndarray] = None  # (nt, 2) [lo, hi]
+    tendon_k: Optional[jnp.ndarray] = None      # (nt,) limit stiffness
+    tendon_d: Optional[jnp.ndarray] = None      # (nt,) damping
+
     @property
     def ng(self) -> int:
         return len(self.geom_body)
