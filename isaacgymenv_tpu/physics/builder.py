@@ -87,6 +87,7 @@ class _Body:
     damping: float = 0.0
     drive_mode: int = DRIVE_NONE
     has_limit: bool = False
+    gravcomp: float = 0.0  # 1.0 = gravity-free (asset disable_gravity)
 
 
 class ModelBuilder:
@@ -295,6 +296,11 @@ class ModelBuilder:
             **self._surface_fields(dtype),
             **self._anchor_fields(dtype),
             **self._tendon_fields(dof_names, dtype),
+            **(
+                {"body_gravcomp": jnp.array([b.gravcomp for b in self.bodies], dtype)}
+                if any(b.gravcomp for b in self.bodies)
+                else {}
+            ),
         )
         return model
 

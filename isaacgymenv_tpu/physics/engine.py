@@ -192,6 +192,15 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         f_ext = f_ext + contact_mod.anchor_forces(
             model, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt
         )
+    if model.body_gravcomp is not None:
+        # per-body anti-gravity at the COM (disable_gravity equivalent)
+        f_g = jnp.broadcast_to(
+            -(model.body_gravcomp * model.body_mass)[..., :, None] * model.gravity,
+            body_pos_w.shape,
+        )
+        com_w = jnp.einsum("...nij,...nj->...ni", R_w, jnp.broadcast_to(
+            model.body_com, body_pos_w.shape))
+        f_ext = f_ext + jnp.concatenate([jnp.cross(com_w, f_g), f_g], axis=-1)
 
     if ctrl.body_wrench is not None:
         f_ext = f_ext + ctrl.body_wrench

@@ -130,6 +130,10 @@ class SimModel:
     anchor_target: Optional[jnp.ndarray] = None  # (na, 3) world target
     anchor_meff: Optional[jnp.ndarray] = None    # (na,)
 
+    # --- per-body gravity compensation (asset disable_gravity equivalent,
+    # ref: franka_cabinet.py:149): 1.0 = fully compensated ---
+    body_gravcomp: Optional[jnp.ndarray] = None  # (nb,)
+
     # --- fixed tendons: linear couplings L = sum(coef * q) with range
     # limits (MJCF <tendon><fixed>; shadow hand distal-joint coupling,
     # ref: shadow_hand.py:260-271 tendon limit_stiffness setup) ---
