@@ -167,6 +167,10 @@ class PPO:
     def _norm_obs(self, stats: RunningStats, obs):
         return stats.normalize(obs) if self.cfg.normalize_input else obs
 
+    def _extra_rollout_outputs(self, extras) -> Dict[str, jnp.ndarray]:
+        """Hook: additional per-step tensors to collect (AMP obs, ...)."""
+        return {}
+
     def _rollout(self, ts: TrainState):
         """lax.scan over horizon; returns batch dict of (H, N, ...)."""
         cfg = self.cfg
@@ -204,6 +208,7 @@ class PPO:
                 obs=obs, action=action, logp=logp, value=value, reward=rew,
                 done=done, mu=mu, log_std=log_std,
             )
+            out.update(self._extra_rollout_outputs(extras))
             return (env_state, obs_dict["obs"], key, ep_ret, ep_len, m_ret, m_len), out
 
         carry0 = (ts.env_state, ts.last_obs, ts.key, ts.ep_return, ts.ep_length,

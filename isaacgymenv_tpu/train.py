@@ -49,7 +49,11 @@ def main(argv=None):
     env_cls = registry.get_task(task)
     env = env_cls(task_cfg)
     algo = train_cfg["params"].get("algo", {}).get("name", "a2c_continuous")
-    if algo == "sac":
+    if algo == "amp_continuous":
+        from isaacgymenv_tpu.learning.amp import AMPPPO
+
+        agent = AMPPPO(env, train_cfg)
+    elif algo == "sac":
         from isaacgymenv_tpu.learning.sac import SAC
 
         agent = SAC(env, train_cfg)
