@@ -372,8 +372,9 @@ class PPO:
         max_epochs: Optional[int] = None,
         log_every: int = 10,
         callback=None,
+        init_ts: Optional[TrainState] = None,
     ) -> TrainState:
-        ts = self.init(seed)
+        ts = init_ts if init_ts is not None else self.init(seed)
         epochs = max_epochs or self.cfg.max_epochs
         steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
         t0 = time.time()

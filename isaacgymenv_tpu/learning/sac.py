@@ -313,13 +313,16 @@ class SAC:
         info["mean_length"] = ts.mean_length
         return ts, info
 
-    def train(self, seed: int = 42, max_epochs=None, log_every: int = 200):
-        ts = self.init(seed)
+    def train(self, seed: int = 42, max_epochs=None, log_every: int = 200,
+              callback=None, init_ts=None):
+        ts = init_ts if init_ts is not None else self.init(seed)
         epochs = max_epochs or int(self.cfg.get("max_epochs", 1000))
         steps_per = self.steps_per_epoch * self.env.num_envs
         t0 = time.time()
         for ep in range(epochs):
             ts, info = self.train_epoch(ts)
+            if callback is not None:
+                callback(ep, ts, info)
             if log_every and (ep % log_every == 0 or ep == epochs - 1):
                 jax.block_until_ready(info["c_loss"])
                 fps = steps_per * (ep + 1) / (time.time() - t0)

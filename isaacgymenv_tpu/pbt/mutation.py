@@ -1,0 +1,59 @@
+"""Hyperparameter mutation functions for PBT.
+
+Behavioral port of the reference's pbt/mutation.py: multiplicative
+perturbation in [change_min, change_max] with random direction, plus
+special-cased clamps (eps-clip, mini-epochs, discount).
+"""
+
+from __future__ import annotations
+
+import copy
+import random
+
+
+def mutate_float(x, change_min=1.1, change_max=1.5):
+    perturb = random.uniform(change_min, change_max)
+    return x / perturb if random.random() < 0.5 else x * perturb
+
+
+def mutate_float_min_1(x, **kwargs):
+    return max(1.0, mutate_float(x, **kwargs))
+
+
+def mutate_eps_clip(x, **kwargs):
+    return min(0.3, max(0.01, mutate_float(x, **kwargs)))
+
+
+def mutate_mini_epochs(x, **kwargs):
+    new = x + 1 if random.random() < 0.5 else x - 1
+    return min(8, max(1, new))
+
+
+def mutate_discount(x, **kwargs):
+    """Conservative mutation of gamma via its complement (ref: mutation.py:62)."""
+    return 1.0 - mutate_float(1.0 - x, change_min=1.1, change_max=1.2)
+
+
+_FUNCS = {
+    "mutate_float": mutate_float,
+    "mutate_float_min_1": mutate_float_min_1,
+    "mutate_eps_clip": mutate_eps_clip,
+    "mutate_mini_epochs": mutate_mini_epochs,
+    "mutate_discount": mutate_discount,
+}
+
+
+def get_mutation_func(name: str):
+    # reference accepts fully-qualified names like "isaacgymenvs.pbt.mutation.mutate_float"
+    return _FUNCS[name.rsplit(".", 1)[-1]]
+
+
+def mutate(params: dict, mutations: dict, mutation_rate: float, change_min: float, change_max: float) -> dict:
+    mutated = copy.deepcopy(params)
+    for param, value in params.items():
+        if random.random() > mutation_rate:
+            continue
+        func = get_mutation_func(mutations[param])
+        mutated[param] = func(value, change_min=change_min, change_max=change_max)
+        print(f"Param {param} mutated to value {mutated[param]}")
+    return mutated

@@ -26,6 +26,8 @@ def main(argv=None):
     experiment = kv.pop("experiment", task)
     headless = kv.pop("headless", "True")  # accepted for CLI parity; no viewer
     train_name = kv.pop("train", "")
+    pbt_name = kv.pop("pbt", "")
+    kv.pop("pbt_restart", None)  # marker set by PBT self-restart
 
     from isaacgymenv_tpu.envs import registry
     from isaacgymenv_tpu.learning.checkpoint import load_train_state, save_train_state
@@ -39,10 +41,23 @@ def main(argv=None):
     task_cfg = load_task_config(task)
     train_cfg = load_train_config(task, train_name or None)
     # route remaining dotted overrides: 'train.*' to train cfg, rest to task cfg
-    task_overrides = [f"{k}={v}" for k, v in kv.items() if not k.startswith("train.")]
+    task_overrides = [
+        f"{k}={v}" for k, v in kv.items()
+        if not k.startswith("train.") and not k.startswith("pbt.")
+    ]
     train_overrides = [f"{k[6:]}={v}" for k, v in kv.items() if k.startswith("train.")]
     apply_cli_overrides(task_cfg, task_overrides)
     apply_cli_overrides(train_cfg, train_overrides)
+
+    # PBT config: cfg/pbt/<name>.yaml + pbt.* CLI overrides (ref: cfg/config.yaml
+    # defaults group `pbt: no_pbt`, pbt/pbt.py)
+    pbt_cfg = {}
+    if pbt_name:
+        from isaacgymenv_tpu.utils.config import CFG_ROOT, load_yaml
+
+        pbt_cfg = load_yaml(os.path.join(CFG_ROOT, "pbt", f"{pbt_name}.yaml"))
+    pbt_overrides = [f"{k[4:]}={v}" for k, v in kv.items() if k.startswith("pbt.")]
+    apply_cli_overrides(pbt_cfg, pbt_overrides)
     if num_envs:
         task_cfg["env"]["numEnvs"] = int(num_envs)
 
@@ -81,7 +96,28 @@ def main(argv=None):
 
     epochs = int(max_iterations) if max_iterations else None
     t0 = time.time()
-    ts = agent.train(seed=seed, max_epochs=epochs)
+
+    init_ts = None
+    if checkpoint:
+        init_ts = load_train_state(agent, checkpoint)
+
+    callback = None
+    if pbt_cfg.get("enabled"):
+        from isaacgymenv_tpu.pbt.pbt import PbtObserver, PbtParams
+
+        pbt_params = PbtParams(pbt_cfg, train_cfg)
+        steps_per_epoch = (
+            agent.cfg.horizon_length if algo != "sac" else agent.steps_per_epoch
+        ) * env.num_envs
+        observer = PbtObserver(pbt_params, steps_per_epoch)
+
+        def callback(ep, ts, info):
+            obj = float(
+                info.get("true_objective", info.get("mean_return", 0.0))
+            )
+            observer.after_epoch(ep, obj, lambda p: save_train_state(ts, p))
+
+    ts = agent.train(seed=seed, max_epochs=epochs, callback=callback, init_ts=init_ts)
     path = os.path.join(run_dir, "nn", f"{experiment}.ckpt")
     save_train_state(ts, path)
     per_epoch = (

@@ -1,0 +1,98 @@
+"""PBT subsystem: checkpoint protocol, ranking, mutation, restart decision."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+def _params(tmp_path, idx=0, n=4, dbg=False):
+    from isaacgymenv_tpu.pbt.pbt import PbtParams
+
+    pbt_cfg = {
+        "enabled": True,
+        "policy_idx": idx,
+        "num_policies": n,
+        "workspace": str(tmp_path),
+        "interval_steps": 100,
+        "start_after": 0,
+        "initial_delay": 0,
+        "dbg_mode": dbg,
+        "mutation": {"config.learning_rate": "mutate_float"},
+    }
+    train_cfg = {"params": {"config": {"learning_rate": 3e-4}}}
+    return PbtParams(pbt_cfg, train_cfg)
+
+
+def test_mutation_functions():
+    from isaacgymenv_tpu.pbt import mutation
+
+    for _ in range(50):
+        assert 0.01 <= mutation.mutate_eps_clip(0.2) <= 0.3
+        assert 1 <= mutation.mutate_mini_epochs(4) <= 8
+        assert mutation.mutate_discount(0.99) < 1.0
+        assert mutation.mutate_float_min_1(1.2) >= 1.0
+    out = mutation.mutate(
+        {"lr": 3e-4}, {"lr": "mutate_float"}, mutation_rate=1.0,
+        change_min=1.1, change_max=1.5,
+    )
+    assert out["lr"] != 3e-4
+
+
+def test_pbt_checkpoint_roundtrip_and_ranking(tmp_path):
+    from isaacgymenv_tpu.pbt.pbt import PbtObserver
+
+    # fabricate a population: policies 1..3 with ascending objectives
+    for idx in range(1, 4):
+        d = tmp_path / f"{idx:03d}"
+        d.mkdir()
+        meta = {"iteration": 1, "true_objective": float(idx), "env_frames": 100,
+                "params": {"config.learning_rate": 1e-4 * idx}}
+        (d / "000001.yaml").write_text(yaml.safe_dump(meta))
+        (d / "000001.ckpt").write_text("fake")
+
+    obs = PbtObserver(_params(tmp_path, idx=0), steps_per_epoch=50)
+    saved = {}
+    obs.after_epoch(0, objective=0.1, save_fn=lambda p: saved.setdefault("p", p))
+    # iteration 0 -> no save yet (init)
+    pop = obs._load_population()
+    assert pop[0] is None and pop[3]["true_objective"] == 3.0
+
+
+def test_pbt_worst_policy_restarts(tmp_path, monkeypatch):
+    import isaacgymenv_tpu.pbt.pbt as P
+
+    for idx in range(1, 4):
+        d = tmp_path / f"{idx:03d}"
+        d.mkdir()
+        meta = {"iteration": 1, "true_objective": 100.0 * idx, "env_frames": 1000,
+                "params": {"config.learning_rate": 1e-4}}
+        (d / "000001.yaml").write_text(yaml.safe_dump(meta))
+        (d / "000001.ckpt").write_text("fake")
+
+    calls = {}
+
+    def fake_restart(policy_idx, new_params, ckpt):
+        calls["idx"] = policy_idx
+        calls["params"] = new_params
+        calls["ckpt"] = ckpt
+
+    monkeypatch.setattr(P, "restart_with_new_params", fake_restart)
+    obs = P.PbtObserver(_params(tmp_path, idx=0, dbg=True), steps_per_epoch=50)
+    obs.after_epoch(0, objective=0.0, save_fn=lambda p: open(p, "w").write("x"))
+    # epoch 2 crosses interval_steps=100 -> full PBT iteration; policy 0 is worst
+    obs.after_epoch(2, objective=0.0, save_fn=lambda p: open(p, "w").write("x"))
+    assert calls["idx"] == 0
+    assert calls["ckpt"].endswith(".ckpt")
+    assert "config.learning_rate" in calls["params"]
+    # own checkpoint was written to the workspace
+    own = os.listdir(tmp_path / "000")
+    assert any(f.endswith(".yaml") for f in own)
+
+
+def test_initial_pbt_check():
+    from isaacgymenv_tpu.pbt.pbt import initial_pbt_check
+
+    assert initial_pbt_check(["task=Ant", "++pbt_restart=True"])
+    assert not initial_pbt_check(["task=Ant"])
