@@ -110,9 +110,12 @@ def contact_forces(
     # light bodies (nv_ant feet are 50 g) with NO per-task damping tuning.
     kappa = 0.25
     arrest = kappa * model.geom_meff / h  # N per (m/s)
-    # elastic stiffness is capped the same way (k < kappa*m/h^2 is the
-    # explicit-integration stability bound for arbitrarily light bodies)
-    kn_eff = jnp.minimum(kn, kappa * model.geom_meff / (h * h))
+    # elastic stiffness capped at the explicit stability bound, but against
+    # the NORMAL-direction (max) effective mass: a standing anymal foot
+    # carries tens of kg along the contact normal even though its swing
+    # (min) direction mass is ~0.1 kg.  kappa_el=1.0 keeps omega*h <= 1.
+    m_el = model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff
+    kn_eff = jnp.minimum(kn, m_el / (h * h))
 
     d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
     approach = jnp.maximum(-v_n, 0.0)
@@ -281,7 +284,10 @@ def pair_contact_forces(
     m_pair = m_g * m_s / (m_g + m_s)  # reduced mass of the pair
     kappa = 0.25
     arrest = kappa * m_pair / h
-    kn_eff = jnp.minimum(kn, kappa * m_pair / (h * h))
+    m_g_el = (model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff)[pg]
+    m_s_el = (model.surf_meff_el if model.surf_meff_el is not None else model.surf_meff)[ps]
+    m_pair_el = m_g_el * m_s_el / (m_g_el + m_s_el)
+    kn_eff = jnp.minimum(kn, m_pair_el / (h * h))
 
     d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
     approach = jnp.maximum(-v_n, 0.0)

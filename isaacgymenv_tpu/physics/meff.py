@@ -37,7 +37,7 @@ def attach_effective_masses(model: SimModel, q0: np.ndarray | None = None) -> Si
     M = dynamics.crba(model, kin, inertias)[0]
     Minv = jnp.linalg.inv(M + 1e-9 * jnp.eye(model.nv))
 
-    meff = []
+    meff, meff_el = [], []
     for g in range(model.ng):
         b = model.geom_body[g]
         point_w = kin.p_w[b][0] + maths.quat_rotate(
@@ -49,17 +49,21 @@ def attach_effective_masses(model: SimModel, q0: np.ndarray | None = None) -> Si
         diag = jnp.diagonal(lam)
         m_dir = 1.0 / jnp.maximum(diag, 1e-6)  # per-axis effective mass
         meff.append(float(jnp.clip(jnp.min(m_dir), 1e-3, 1e4)))
+        meff_el.append(float(jnp.clip(jnp.max(m_dir), 1e-3, 1e4)))
     # several spheres on one body can be in contact simultaneously and each
     # applies its own impulse cap — split the budget so the SUM stays within
     # the stable bound
     counts = np.bincount(np.array(model.geom_body), minlength=model.nb)
     meff = [m / max(int(counts[model.geom_body[g]]), 1) for g, m in enumerate(meff)]
-    model = model.replace(geom_meff=jnp.array(meff, jnp.float32))
+    model = model.replace(
+        geom_meff=jnp.array(meff, jnp.float32),
+        geom_meff_el=jnp.array(meff_el, jnp.float32),
+    )
 
     # surface-side effective masses for body-vs-body pair contacts: the
     # articulated effective mass at the surface center (same derivation)
     if model.surf_body:
-        smeff = []
+        smeff, smeff_el = [], []
         for s in range(len(model.surf_body)):
             b = model.surf_body[s]
             point_w = kin.p_w[b][0] + jnp.einsum(
@@ -69,5 +73,9 @@ def attach_effective_masses(model: SimModel, q0: np.ndarray | None = None) -> Si
             lam = J[0:3] @ Minv @ J[0:3].T
             m_dir = 1.0 / jnp.maximum(jnp.diagonal(lam), 1e-6)
             smeff.append(float(jnp.clip(jnp.min(m_dir), 1e-3, 1e4)))
-        model = model.replace(surf_meff=jnp.array(smeff, jnp.float32))
+            smeff_el.append(float(jnp.clip(jnp.max(m_dir), 1e-3, 1e4)))
+        model = model.replace(
+            surf_meff=jnp.array(smeff, jnp.float32),
+            surf_meff_el=jnp.array(smeff_el, jnp.float32),
+        )
     return model

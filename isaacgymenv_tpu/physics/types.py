@@ -143,6 +143,13 @@ class SimModel:
     tendon_k: Optional[jnp.ndarray] = None      # (nt,) limit stiffness
     tendon_d: Optional[jnp.ndarray] = None      # (nt,) damping
 
+    # --- max-direction effective masses for the ELASTIC contact-stiffness
+    # cap: the normal-direction load path (e.g. a standing foot carrying the
+    # trunk) is far heavier than the min/tangential direction that bounds
+    # the damping/friction impulses (geom_meff) ---
+    geom_meff_el: Optional[jnp.ndarray] = None  # (ng,)
+    surf_meff_el: Optional[jnp.ndarray] = None  # (ns,)
+
     @property
     def ng(self) -> int:
         return len(self.geom_body)
