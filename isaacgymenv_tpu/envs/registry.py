@@ -59,6 +59,8 @@ _TASKS = [
     ("franka_cube_stack", "FrankaCubeStack", "FrankaCubeStack"),
     ("shadow_hand", "ShadowHand", "ShadowHand"),
     ("allegro_hand", "AllegroHand", "AllegroHand"),
+    ("allegro_hand_dextreme", "AllegroHandDextremeManualDR", "AllegroHandDextremeManualDR"),
+    ("allegro_hand_dextreme", "AllegroHandDextremeADR", "AllegroHandDextremeADR"),
     ("humanoid_amp", "HumanoidAMP", "HumanoidAMP"),
     ("trifinger", "Trifinger", "Trifinger"),
 ]
