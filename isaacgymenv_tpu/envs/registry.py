@@ -63,4 +63,10 @@ _TASKS = [
     ("allegro_hand_dextreme", "AllegroHandDextremeADR", "AllegroHandDextremeADR"),
     ("humanoid_amp", "HumanoidAMP", "HumanoidAMP"),
     ("trifinger", "Trifinger", "Trifinger"),
+    ("allegro_kuka", "AllegroKukaReorientation", "AllegroKukaReorientation"),
+    ("allegro_kuka", "AllegroKukaRegrasping", "AllegroKukaRegrasping"),
+    ("allegro_kuka", "AllegroKukaThrow", "AllegroKukaThrow"),
+    # reference name "AllegroKuka" resolves by cfg env.subtask
+    # (ref: tasks/__init__.py:62-86); default = reorientation
+    ("allegro_kuka", "AllegroKukaReorientation", "AllegroKuka"),
 ]
