@@ -149,6 +149,7 @@ class AMPPPO(PPO):
     @partial(jax.jit, static_argnums=0)
     def train_epoch(self, ts: AMPTrainState):
         ts, batch = self._rollout(ts)
+        env_metrics = batch.pop("_env_metrics", None)
         H, N = batch["reward"].shape
         B = H * N
         amp_flat = batch["amp_obs"].reshape(B, self.amp_dim)
@@ -227,4 +228,6 @@ class AMPPPO(PPO):
             disc_demo_acc=acc_d.mean(),
             disc_reward=disc_r.mean(),
         )
+        if env_metrics is not None:
+            info.update({k: v.mean() for k, v in env_metrics.items()})
         return ts, info

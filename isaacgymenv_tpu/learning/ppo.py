@@ -171,6 +171,18 @@ class PPO:
         """Hook: additional per-step tensors to collect (AMP obs, ...)."""
         return {}
 
+    def _metric_rollout_outputs(self, extras) -> Dict[str, jnp.ndarray]:
+        """Scalar env metrics to log per epoch: the env's extras['episode']
+        per-term means + true_objective/consecutive_successes (the
+        RLGPUAlgoObserver channel, ref: rlgames_utils.py:183-209)."""
+        out = {}
+        for k, v in extras.get("episode", {}).items():
+            out[f"episode/{k}"] = jnp.asarray(v, jnp.float32)
+        for k in ("true_objective", "consecutive_successes"):
+            if k in extras:
+                out[k] = jnp.asarray(extras[k], jnp.float32).mean()
+        return out
+
     def _rollout(self, ts: TrainState):
         """lax.scan over horizon; returns batch dict of (H, N, ...)."""
         cfg = self.cfg
@@ -209,6 +221,9 @@ class PPO:
                 done=done, mu=mu, log_std=log_std,
             )
             out.update(self._extra_rollout_outputs(extras))
+            metrics = self._metric_rollout_outputs(extras)
+            if metrics:
+                out["_env_metrics"] = metrics
             return (env_state, obs_dict["obs"], key, ep_ret, ep_len, m_ret, m_len), out
 
         carry0 = (ts.env_state, ts.last_obs, ts.key, ts.ep_return, ts.ep_length,
@@ -362,8 +377,12 @@ class PPO:
     def train_epoch(self, ts: TrainState):
         """One full PPO epoch: rollout + GAE + mini-epoch updates (one jit)."""
         ts, batch = self._rollout(ts)
+        env_metrics = batch.pop("_env_metrics", None)
         advs, returns = self._gae(ts, batch)
-        return self._update(ts, batch, advs, returns)
+        ts, info = self._update(ts, batch, advs, returns)
+        if env_metrics is not None:
+            info.update({k: v.mean() for k, v in env_metrics.items()})
+        return ts, info
 
     # ------------------------------------------------------------------
     def train(

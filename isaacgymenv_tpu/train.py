@@ -101,21 +101,40 @@ def main(argv=None):
     if checkpoint:
         init_ts = load_train_state(agent, checkpoint)
 
-    callback = None
+    # observers: TensorBoard/CSV summaries + optional W&B (ref §5.5;
+    # replaces the reference's RLGPUAlgoObserver + missing wandb_utils)
+    from isaacgymenv_tpu.utils.observers import (
+        MultiObserver,
+        TensorBoardObserver,
+        WandbObserver,
+    )
+
+    wandb_cfg = {k: v for k, v in kv.items() if k.startswith("wandb")}
+    wandb_cfg["wandb_activate"] = kv.get("wandb_activate", "False").lower() in ("true", "1")
+    observer = MultiObserver(
+        TensorBoardObserver(run_dir),
+        WandbObserver({**wandb_cfg, "task": task}, rank=0),
+    )
+    steps_per_epoch_obs = (
+        agent.cfg.horizon_length if algo != "sac" else agent.steps_per_epoch
+    ) * env.num_envs
+    obs_callback = lambda ep, ts, info: observer.after_epoch(
+        ep, (ep + 1) * steps_per_epoch_obs, info
+    )
+
+    callback = obs_callback
     if pbt_cfg.get("enabled"):
         from isaacgymenv_tpu.pbt.pbt import PbtObserver, PbtParams
 
         pbt_params = PbtParams(pbt_cfg, train_cfg)
-        steps_per_epoch = (
-            agent.cfg.horizon_length if algo != "sac" else agent.steps_per_epoch
-        ) * env.num_envs
-        observer = PbtObserver(pbt_params, steps_per_epoch)
+        pbt_observer = PbtObserver(pbt_params, steps_per_epoch_obs)
 
         def callback(ep, ts, info):
+            obs_callback(ep, ts, info)
             obj = float(
                 info.get("true_objective", info.get("mean_return", 0.0))
             )
-            observer.after_epoch(ep, obj, lambda p: save_train_state(ts, p))
+            pbt_observer.after_epoch(ep, obj, lambda p: save_train_state(ts, p))
 
     ts = agent.train(seed=seed, max_epochs=epochs, callback=callback, init_ts=init_ts)
     path = os.path.join(run_dir, "nn", f"{experiment}.ckpt")
