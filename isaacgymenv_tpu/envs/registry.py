@@ -58,6 +58,7 @@ _TASKS = [
     ("franka_cabinet", "FrankaCabinet", "FrankaCabinet"),
     ("franka_cube_stack", "FrankaCubeStack", "FrankaCubeStack"),
     ("shadow_hand", "ShadowHand", "ShadowHand"),
+    ("shadow_hand", "ShadowHand", "ShadowHandOpenAI_LSTM"),
     ("allegro_hand", "AllegroHand", "AllegroHand"),
     ("allegro_hand_dextreme", "AllegroHandDextremeManualDR", "AllegroHandDextremeManualDR"),
     ("allegro_hand_dextreme", "AllegroHandDextremeADR", "AllegroHandDextremeADR"),

@@ -59,6 +59,45 @@ class ActorCritic(nn.Module):
         return mu, log_std, value
 
 
+class ActorCriticLSTM(nn.Module):
+    """MLP trunk -> LSTM -> gaussian actor + value heads.
+
+    Mirrors rl_games' rnn builder (ref: cfg/train/AnymalTerrainPPO_LSTM.yaml,
+    ShadowHandOpenAI_LSTMPPO.yaml: rnn.name lstm, units, layers 1,
+    before_mlp False): the LSTM sits AFTER the MLP trunk.
+    """
+
+    num_actions: int
+    units: Sequence[int] = (256, 128, 64)
+    activation: str = "elu"
+    lstm_units: int = 128
+    sigma_init: float = 0.0
+    fixed_sigma: bool = True
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, carry):
+        act = _ACT[self.activation]
+        x = obs
+        for i, u in enumerate(self.units):
+            x = act(nn.Dense(u, name=f"a_dense_{i}")(x))
+        cell = nn.OptimizedLSTMCell(self.lstm_units, name="lstm")
+        carry, x = cell(carry, x)
+        mu = nn.Dense(self.num_actions, name="mu", kernel_init=nn.initializers.orthogonal(0.01))(x)
+        value = nn.Dense(1, name="value")(x)[..., 0]
+        if self.fixed_sigma:
+            log_std = self.param(
+                "log_std", nn.initializers.constant(self.sigma_init), (self.num_actions,)
+            )
+            log_std = jnp.broadcast_to(log_std, mu.shape)
+        else:
+            log_std = nn.Dense(self.num_actions, name="sigma")(x)
+        return mu, log_std, value, carry
+
+    def initial_carry(self, batch: int):
+        z = jnp.zeros((batch, self.lstm_units))
+        return (z, z)
+
+
 def gaussian_logp(mu, log_std, action):
     """Diagonal gaussian log-density."""
     var = jnp.exp(2.0 * log_std)

@@ -68,6 +68,10 @@ def main(argv=None):
         from isaacgymenv_tpu.learning.amp import AMPPPO
 
         agent = AMPPPO(env, train_cfg)
+    elif "rnn" in train_cfg["params"].get("network", {}):
+        from isaacgymenv_tpu.learning.ppo_lstm import LSTMPPO
+
+        agent = LSTMPPO(env, train_cfg)
     elif algo == "sac":
         from isaacgymenv_tpu.learning.sac import SAC
 

@@ -56,3 +56,28 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+def test_lstm_ppo_learns_cartpole():
+    """LSTM-PPO (truncated BPTT) improves on Cartpole within a few epochs."""
+    import jax
+
+    from isaacgymenv_tpu.envs.registry import get_task
+    from isaacgymenv_tpu.learning.ppo_lstm import LSTMPPO
+    from isaacgymenv_tpu.utils.config import load_task_config, load_train_config
+
+    cfg = load_task_config("Cartpole", num_envs=32)
+    env = get_task("Cartpole")(cfg)
+    tc = load_train_config("Cartpole")
+    tc["params"]["network"]["rnn"] = {"units": 64}
+    tc["params"]["config"].update(
+        {"minibatch_size": 256, "horizon_length": 16, "seq_len": 4, "mini_epochs": 2}
+    )
+    agent = LSTMPPO(env, tc)
+    ts = agent.init(0)
+    first = None
+    for i in range(15):
+        ts, info = agent.train_epoch(ts)
+        if i == 2:
+            first = float(info["mean_return"])
+    assert float(info["mean_return"]) > first

@@ -15,9 +15,22 @@ from isaacgymenv_tpu.envs import registry
 from isaacgymenv_tpu.utils.config import CFG_ROOT
 
 
+# one task per family keeps the default suite under ~15 min (each task's
+# first build compiles its whole step); ISAACGYMENV_TPU_SMOKE_ALL=1 runs the
+# full registry (nightly / pre-release)
+_REPRESENTATIVE = {
+    "Cartpole", "Ant", "Anymal", "AnymalTerrain", "Houndarm", "UsefulHound",
+    "BallBalance", "Quadcopter", "ShadowHand", "FrankaCubeStack",
+    "HumanoidAMP", "Trifinger", "AllegroKukaThrow", "AllegroHandDextremeADR",
+}
+
+
 def _available_tasks():
     names = []
+    run_all = os.environ.get("ISAACGYMENV_TPU_SMOKE_ALL", "") == "1"
     for n in registry.task_names():
+        if not run_all and n not in _REPRESENTATIVE:
+            continue
         if os.path.exists(os.path.join(CFG_ROOT, "task", f"{n}.yaml")):
             names.append(n)
     return names
