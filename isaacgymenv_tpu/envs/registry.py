@@ -70,4 +70,7 @@ _TASKS = [
     # reference name "AllegroKuka" resolves by cfg env.subtask
     # (ref: tasks/__init__.py:62-86); default = reorientation
     ("allegro_kuka", "AllegroKukaReorientation", "AllegroKuka"),
+    ("allegro_kuka_two_arms", "AllegroKukaTwoArmsReorientation", "AllegroKukaTwoArmsReorientation"),
+    ("allegro_kuka_two_arms", "AllegroKukaTwoArmsRegrasping", "AllegroKukaTwoArmsRegrasping"),
+    ("allegro_kuka_two_arms", "AllegroKukaTwoArmsReorientation", "AllegroKukaTwoArms"),
 ]
