@@ -73,4 +73,5 @@ _TASKS = [
     ("allegro_kuka_two_arms", "AllegroKukaTwoArmsReorientation", "AllegroKukaTwoArmsReorientation"),
     ("allegro_kuka_two_arms", "AllegroKukaTwoArmsRegrasping", "AllegroKukaTwoArmsRegrasping"),
     ("allegro_kuka_two_arms", "AllegroKukaTwoArmsReorientation", "AllegroKukaTwoArms"),
+    ("factory_nut_bolt_pick", "FactoryTaskNutBoltPick", "FactoryTaskNutBoltPick"),
 ]

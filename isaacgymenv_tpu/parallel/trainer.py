@@ -17,7 +17,10 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from isaacgymenv_tpu.envs.base import TaskEnv
 from isaacgymenv_tpu.learning.ppo import PPO, TrainState
