@@ -111,7 +111,7 @@ class DistributedPPO(PPO):
                     mesh=self.mesh,
                     in_specs=(in_specs,),
                     out_specs=(in_specs, dummy_info),
-                    check_rep=False,
+                    check_vma=False,
                 )(ts_in)
 
             self._dist_epoch = jax.jit(run)
