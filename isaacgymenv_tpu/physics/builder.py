@@ -21,6 +21,7 @@ from isaacgymenv_tpu.physics.types import (
     JT_FREE,
     JT_PRISMATIC,
     JT_REVOLUTE,
+    JT_SCREW,
     SimModel,
 )
 
@@ -87,6 +88,7 @@ class _Body:
     damping: float = 0.0
     drive_mode: int = DRIVE_NONE
     has_limit: bool = False
+    pitch: float = 0.0  # screw-joint thread pitch [m/rev]
     gravcomp: float = 0.0  # 1.0 = gravity-free (asset disable_gravity)
 
 
@@ -232,7 +234,7 @@ class ModelBuilder:
             if b.jtype == JT_FREE:
                 nq += 7
                 nv += 6
-            elif b.jtype in (JT_REVOLUTE, JT_PRISMATIC):
+            elif b.jtype in (JT_REVOLUTE, JT_PRISMATIC, JT_SCREW):
                 dof_body.append(i)
                 dof_q_adr.append(nq)
                 dof_v_adr.append(nv)
@@ -246,6 +248,7 @@ class ModelBuilder:
 
         ng = len(self.geom_body)
         model = SimModel(
+            joint_pitch=tuple(float(b.pitch) for b in self.bodies),
             nb=nb,
             nq=nq,
             nv=nv,

@@ -16,10 +16,30 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from isaacgymenv_tpu.physics import spatial
 from isaacgymenv_tpu.physics.kinematics import Kin
 from isaacgymenv_tpu.physics.types import JT_FIXED, JT_FREE, SimModel
+
+
+def _levels(model: SimModel):
+    """Bodies grouped by tree depth (static; trace-time only).
+
+    Level-parallel scheduling: all bodies at one depth are independent, so
+    their per-body 6D ops batch into one stacked tensor op — on TPU this
+    turns 4 quadruped legs' worth of small kernels into 1/4 as many kernels
+    of 4x the width (one core executes kernels serially; width is the only
+    parallelism).
+    """
+    depth = [0] * model.nb
+    for i in range(model.nb):
+        p = model.parent[i]
+        depth[i] = 0 if p < 0 else depth[p] + 1
+    out = []
+    for d in range(max(depth) + 1):
+        out.append(tuple(i for i in range(model.nb) if depth[i] == d))
+    return out
 
 
 def _ndof(model: SimModel, i: int) -> int:
@@ -327,3 +347,149 @@ def aba(
             qdd = qdd.at[..., va].set(qdd_i)
             a[i] = a_p + S * qdd_i[..., None]
     return qdd
+
+
+def aba_lp(
+    model: SimModel,
+    kin: Kin,
+    tau: jnp.ndarray,
+    f_ext_world: jnp.ndarray | None = None,
+    d_extra: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Level-parallel ABA — identical math to `aba`, scheduled by tree DEPTH.
+
+    All bodies at one depth are independent, so their 6D spatial ops run as
+    one stacked tensor op over a leading body axis (a quadruped's 4 legs
+    become one 4x-wide kernel instead of 4 small ones — the TPU core runs
+    kernels serially, so width is the only parallelism).  Verified equal to
+    `aba` in tests/test_dynamics.py.
+    """
+    batch = tau.shape[:-1]
+    dtype = tau.dtype
+    nb = model.nb
+    levels = _levels(model)
+
+    # ---- stacked per-body arrays, body axis FIRST: (nb, *batch, ...)
+    def stk(lst):
+        return jnp.stack(lst, axis=0)
+
+    R_l, p_l = stk(kin.R_l), stk(kin.p_l)
+    R_w = stk(kin.R_w)
+    v = stk(kin.v)
+    mass = jnp.moveaxis(jnp.broadcast_to(model.body_mass, batch + (nb,)), -1, 0).astype(dtype)
+    com = jnp.moveaxis(jnp.broadcast_to(model.body_com, batch + (nb, 3)), -2, 0).astype(dtype)
+    rot_in = jnp.moveaxis(
+        jnp.broadcast_to(model.body_inertia, batch + (nb, 3, 3)), -3, 0
+    ).astype(dtype)
+    I = spatial.spatial_inertia(mass, com, rot_in)  # (nb, *batch, 6, 6)
+
+    # joint velocity vJ per body (kin.v includes vJ; c = v x vJ needs it alone)
+    vJ = stk([_joint_velocity_from(model, kin, i, dtype, batch) for i in range(nb)])
+
+    c = spatial.crm(v, vJ)  # (nb, *batch, 6)
+    pA = spatial.crf(v, jnp.einsum("n...ab,n...b->n...a", I, v))
+    if f_ext_world is not None:
+        fe = jnp.moveaxis(f_ext_world, -2, 0).astype(dtype)  # (nb, *batch, 6)
+        n_b = jnp.einsum("n...ji,n...j->n...i", R_w, fe[..., :3])
+        f_b = jnp.einsum("n...ji,n...j->n...i", R_w, fe[..., 3:])
+        pA = pA - jnp.concatenate([n_b, f_b], axis=-1)
+    IA = I
+
+    # per-dof diagonal additions (armature + implicit terms)
+    arm_by_body = {}
+    for d in range(model.nd):
+        extra = d_extra[..., d] if d_extra is not None else 0.0
+        arm_by_body[model.dof_body[d]] = (
+            jnp.broadcast_to(model.dof_armature[..., d], batch).astype(dtype) + extra
+        )
+
+    U_s = jnp.zeros((nb,) + batch + (6,), dtype)
+    dinv_s = jnp.zeros((nb,) + batch, dtype)
+    u_s = jnp.zeros((nb,) + batch, dtype)
+
+    # ---- inward: deepest level first
+    for level in reversed(levels[1:]):
+        one = _np.array([i for i in level if model.jtype[i] not in (JT_FIXED, JT_FREE)])
+        fix = _np.array([i for i in level if model.jtype[i] == JT_FIXED])
+        Ia_parts, pa_parts, idx_parts = [], [], []
+        if len(one):
+            S = stk([kin.S[i][..., :, 0] for i in one])  # (L, *batch, 6)
+            arm = stk([arm_by_body[i] for i in one])     # (L, *batch)
+            vas = _np.array([model.v_adr[i] for i in one])
+            IA_l = IA[one]
+            U = jnp.einsum("n...ab,n...b->n...a", IA_l, S)
+            d = jnp.einsum("n...a,n...a->n...", S, U) + arm
+            tau_l = jnp.moveaxis(tau[..., vas], -1, 0)
+            u = tau_l - jnp.einsum("n...a,n...a->n...", S, pA[one])
+            dinv = 1.0 / d
+            U_s, dinv_s, u_s = U_s.at[one].set(U), dinv_s.at[one].set(dinv), u_s.at[one].set(u)
+            Ia = IA_l - U[..., :, None] * U[..., None, :] * dinv[..., None, None]
+            pa = (
+                pA[one]
+                + jnp.einsum("n...ab,n...b->n...a", Ia, c[one])
+                + U * (u * dinv)[..., None]
+            )
+            Ia_parts.append(Ia); pa_parts.append(pa); idx_parts.append(one)
+        if len(fix):
+            Ia = IA[fix]
+            pa = pA[fix] + jnp.einsum("n...ab,n...b->n...a", Ia, c[fix])
+            Ia_parts.append(Ia); pa_parts.append(pa); idx_parts.append(fix)
+        for Ia, pa, idx in zip(Ia_parts, pa_parts, idx_parts):
+            par = _np.array([model.parent[i] for i in idx])
+            IA = IA.at[par].add(spatial.inertia_to_parent(R_l[idx], p_l[idx], Ia))
+            pA = pA.at[par].add(spatial.frc_to_parent(R_l[idx], p_l[idx], pa))
+
+    # ---- outward: accelerations
+    g = model.gravity.astype(dtype)
+    a_base_world = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros_like(g), -g], axis=-1), batch + (6,)
+    )
+    qdd = jnp.zeros(batch + (model.nv,), dtype)
+    a = jnp.zeros((nb,) + batch + (6,), dtype)
+    for i in levels[0]:  # roots
+        a_par = spatial.mot_to_child(kin.R_w[i], kin.p_w[i], a_base_world)
+        a_p = a_par + c[i]
+        if model.jtype[i] == JT_FREE:
+            va = model.v_adr[i]
+            rhs = tau[..., va : va + 6] - (
+                pA[i] + jnp.einsum("...ab,...b->...a", IA[i], a_p)
+            )
+            qdd_root = _solve_sym66(IA[i], rhs)
+            qdd = qdd.at[..., va : va + 6].set(qdd_root)
+            a = a.at[i].set(a_p + qdd_root)
+        else:
+            a = a.at[i].set(a_p)
+    for level in levels[1:]:
+        idx = _np.array(level)
+        par = _np.array([model.parent[i] for i in idx])
+        a_par = spatial.mot_to_child(R_l[idx], p_l[idx], a[par])
+        a_p = a_par + c[idx]
+        one_mask = _np.array(
+            [model.jtype[i] not in (JT_FIXED, JT_FREE) for i in idx]
+        )
+        if one_mask.any():
+            one = idx[one_mask]
+            S = stk([kin.S[i][..., :, 0] for i in one])
+            a_p1 = a_p[one_mask]
+            qdd_i = (
+                u_s[one] - jnp.einsum("n...a,n...a->n...", U_s[one], a_p1)
+            ) * dinv_s[one]
+            vas = _np.array([model.v_adr[i] for i in one])
+            qdd = qdd.at[..., vas].set(jnp.moveaxis(qdd_i, 0, -1))
+            a_p = a_p.at[one_mask].set(a_p1 + S * qdd_i[..., None])
+        a = a.at[idx].set(a_p)
+    return qdd
+
+
+def _joint_velocity_from(model: SimModel, kin: Kin, i: int, dtype, batch):
+    """vJ of body i (body frame) — mirrors the logic inside kinematics.fk."""
+    jt = model.jtype[i]
+    if jt == JT_FREE:
+        if model.parent[i] < 0:
+            return kin.v[i]
+        return kin.v[i] - spatial.mot_to_child(
+            kin.R_l[i], kin.p_l[i], kin.v[model.parent[i]]
+        )
+    if jt == JT_FIXED:
+        return jnp.zeros(batch + (6,), dtype)
+    return _joint_velocity(model, kin, i)

@@ -34,6 +34,9 @@ JT_FREE = 0       # 6-DoF floating root: q = [pos3, quat4], qd = [ang3, lin3] bo
 JT_REVOLUTE = 1   # 1-DoF hinge
 JT_PRISMATIC = 2  # 1-DoF slider
 JT_FIXED = 3      # 0-DoF weld
+JT_SCREW = 4      # 1-DoF helical: rotation about axis coupled to translation
+#                   along it by pitch/2pi (idealizes the Factory nut-on-bolt
+#                   thread constraint, ref: factory SDF thread collisions)
 
 # DOF drive modes (mirror gymapi.DOF_MODE_*; ref: tasks/cartpole.py:110-113)
 DRIVE_NONE = 0
@@ -149,6 +152,9 @@ class SimModel:
     # the damping/friction impulses (geom_meff) ---
     geom_meff_el: Optional[jnp.ndarray] = None  # (ng,)
     surf_meff_el: Optional[jnp.ndarray] = None  # (ns,)
+
+    # --- per-body screw-joint thread pitch [m/rev]; 0 for non-screw joints ---
+    joint_pitch: Tuple[float, ...] = struct.field(pytree_node=False, default=())
 
     @property
     def ng(self) -> int:

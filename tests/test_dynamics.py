@@ -303,3 +303,134 @@ def test_aba_matches_crba_solve():
     qdd_crba = dynamics.forward_dynamics(model, kin, tau, f_ext)
     qdd_aba = dynamics.aba(model, kin, tau, f_ext)
     np.testing.assert_allclose(np.asarray(qdd_aba), np.asarray(qdd_crba), rtol=2e-3, atol=2e-3)
+
+
+def test_aba_lp_matches_aba():
+    """Level-parallel ABA must agree with serial ABA on a branched floating
+    tree with fixed joints, armature, external wrenches, and d_extra."""
+    from isaacgymenv_tpu.physics.builder import ModelBuilder
+    from isaacgymenv_tpu.physics import dynamics, kinematics
+
+    mb = ModelBuilder()
+    root = mb.add_body("root", -1, JT_FREE, mass=2.0,
+                       inertia=np.diag([0.1, 0.12, 0.09]), com=(0.02, 0, 0.01))
+    l1 = mb.add_body("l1", root, JT_REVOLUTE, joint_pos=(0.1, 0.2, 0),
+                     joint_axis=(0, 1, 0), mass=0.7, com=(0, 0, -0.2),
+                     inertia=np.diag([0.01, 0.01, 0.002]), armature=0.01)
+    l2 = mb.add_body("l2", l1, JT_PRISMATIC, joint_pos=(0, 0, -0.4),
+                     joint_axis=(1, 0, 0), mass=0.3, com=(0.05, 0, 0),
+                     inertia=np.diag([0.002, 0.003, 0.002]), armature=0.02)
+    mb.add_body("fx", l2, JT_FIXED, joint_pos=(0.1, 0, 0), mass=0.2,
+                com=(0, 0, 0.05), inertia=np.diag([0.001, 0.001, 0.001]))
+    l3 = mb.add_body("l3", root, JT_REVOLUTE, joint_pos=(-0.1, 0, 0.1),
+                     joint_quat=(0.3, 0.1, 0, 0.95), joint_axis=(1, 0, 0),
+                     mass=0.5, com=(0, 0.1, 0),
+                     inertia=np.diag([0.004, 0.002, 0.004]))
+    mb.add_body("l4", l3, JT_REVOLUTE, joint_pos=(0, 0.2, 0),
+                joint_axis=(0, 0, 1), mass=0.25, com=(0, 0.05, 0),
+                inertia=np.diag([0.001, 0.001, 0.0005]), armature=0.005)
+    model = mb.finalize()
+
+    rng = np.random.default_rng(7)
+    N = 8
+    q = np.zeros((N, model.nq), np.float32)
+    q[:, :3] = rng.normal(size=(N, 3))
+    quat = rng.normal(size=(N, 4))
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    q[:, 3:7] = quat
+    q[:, 7:] = rng.uniform(-1, 1, size=(N, model.nd))
+    qd = jnp.array(rng.normal(size=(N, model.nv)) * 0.5, jnp.float32)
+    tau = jnp.array(rng.normal(size=(N, model.nv)), jnp.float32)
+    f_ext = jnp.array(rng.normal(size=(N, model.nb, 6)), jnp.float32)
+    d_extra = jnp.array(rng.uniform(0, 0.1, size=(N, model.nd)), jnp.float32)
+
+    kin = kinematics.fk(model, jnp.array(q), qd)
+    a1 = dynamics.aba(model, kin, tau, f_ext, d_extra=d_extra)
+    a2 = dynamics.aba_lp(model, kin, tau, f_ext, d_extra=d_extra)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-4, atol=1e-4)
+
+
+def test_fk_lp_matches_fk():
+    """Level-parallel FK must agree with serial FK (all Kin fields)."""
+    from isaacgymenv_tpu.physics.builder import ModelBuilder
+    from isaacgymenv_tpu.physics import kinematics
+
+    mb = ModelBuilder()
+    root = mb.add_body("root", -1, JT_FREE, mass=2.0,
+                       inertia=np.diag([0.1, 0.12, 0.09]), com=(0.02, 0, 0.01))
+    l1 = mb.add_body("l1", root, JT_REVOLUTE, joint_pos=(0.1, 0.2, 0),
+                     joint_axis=(0, 1, 0), mass=0.7, com=(0, 0, -0.2),
+                     inertia=np.diag([0.01, 0.01, 0.002]))
+    l2 = mb.add_body("l2", l1, JT_PRISMATIC, joint_pos=(0, 0, -0.4),
+                     joint_axis=(1, 0, 0), mass=0.3, com=(0.05, 0, 0),
+                     inertia=np.diag([0.002, 0.003, 0.002]))
+    mb.add_body("fx", l2, JT_FIXED, joint_pos=(0.1, 0, 0), mass=0.2,
+                com=(0, 0, 0.05), inertia=np.diag([0.001, 0.001, 0.001]))
+    l3 = mb.add_body("l3", root, JT_REVOLUTE, joint_pos=(-0.1, 0, 0.1),
+                     joint_quat=(0.3, 0.1, 0, 0.95), joint_axis=(1, 0, 0),
+                     mass=0.5, com=(0, 0.1, 0),
+                     inertia=np.diag([0.004, 0.002, 0.004]))
+    model = mb.finalize()
+
+    rng = np.random.default_rng(11)
+    N = 8
+    q = np.zeros((N, model.nq), np.float32)
+    q[:, :3] = rng.normal(size=(N, 3))
+    quat = rng.normal(size=(N, 4))
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    q[:, 3:7] = quat
+    q[:, 7:] = rng.uniform(-1, 1, size=(N, model.nd))
+    qd = jnp.array(rng.normal(size=(N, model.nv)) * 0.5, jnp.float32)
+
+    k1 = kinematics.fk(model, jnp.array(q), qd)
+    k2 = kinematics.fk_lp(model, jnp.array(q), qd)
+    for name in ("R_l", "p_l", "R_w", "p_w", "v"):
+        for i in range(model.nb):
+            np.testing.assert_allclose(
+                np.asarray(getattr(k2, name)[i]),
+                np.asarray(getattr(k1, name)[i]),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
+def test_screw_joint_fk_and_dynamics():
+    """JT_SCREW: helical coupling z = lead*q, v = S*qd with S=[axis,lead*axis];
+    ABA == aba_lp == CRBA+solve == analytic 1-DOF solution."""
+    from isaacgymenv_tpu.physics.builder import ModelBuilder
+    from isaacgymenv_tpu.physics import dynamics, kinematics
+    from isaacgymenv_tpu.physics.types import JT_SCREW
+
+    PITCH = 0.002
+    mb = ModelBuilder()
+    bolt = mb.add_body("bolt", -1, JT_FIXED, joint_pos=(0, 0, 0.4),
+                       mass=0.1, inertia=np.diag([1e-4] * 3))
+    nut = mb.add_body("nut", bolt, JT_SCREW, joint_pos=(0, 0, 0.025),
+                      joint_axis=(0, 0, 1), mass=0.03,
+                      inertia=np.diag([2e-6, 2e-6, 4e-6]), pitch=PITCH)
+    model = mb.finalize()
+    lead = PITCH / (2 * np.pi)
+
+    q = jnp.array([[0.5]])
+    qd = jnp.array([[2.0]])
+    kin = kinematics.fk(model, q, qd)
+    kin2 = kinematics.fk_lp(model, q, qd)
+    np.testing.assert_allclose(
+        np.asarray(kin.p_w[nut][0, 2]), 0.4 + 0.025 + lead * 0.5, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(kin.v[nut][0]), [0, 0, 2, 0, 0, 2 * lead], atol=1e-7
+    )
+    for nm in ("R_l", "p_l", "R_w", "p_w", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(kin2, nm)[nut]),
+            np.asarray(getattr(kin, nm)[nut]), rtol=1e-5, atol=1e-6,
+        )
+
+    tau = jnp.array([[1e-3]])
+    expect = (1e-3 - 0.03 * 9.81 * lead) / (4e-6 + 0.03 * lead**2)
+    for qdd in (
+        dynamics.aba(model, kin, tau),
+        dynamics.aba_lp(model, kin, tau),
+        dynamics.forward_dynamics(model, kin, tau),
+    ):
+        np.testing.assert_allclose(float(qdd[0, 0]), expect, rtol=1e-4)
