@@ -16,6 +16,7 @@ Stability notes (TPU-first design):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -213,9 +214,11 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
 
     # --- forward dynamics: ABA with implicit spring-damper stabilization
     # on the joint-space diagonal (profiled 8x faster than CRBA+Cholesky on
-    # TPU: no (N, nv, nv) assembly, no batched linalg) ---
+    # TPU: no (N, nv, nv) assembly, no batched linalg).  Level-parallel
+    # schedule: +19% step throughput on Anymal vs serial ABA (one stacked
+    # kernel per tree depth instead of one per body; scripts/bench_aba_lp.py) ---
     d_imp = _implicit_drive_terms(model, dt, dof_pos) if model.nd > 0 else None
-    qdd = dynamics.aba(model, kin, tau, f_ext, d_extra=d_imp)
+    qdd = dynamics.aba_lp(model, kin, tau, f_ext, d_extra=d_imp)
 
     # --- integrate ---
     qd_new = state.qd + qdd * dt
@@ -256,6 +259,27 @@ def step(
     matching the reference where refresh happens next step.
     """
     h = dt / substeps
+    if _use_fused(model, terrain, ctrl, state):
+        # single fused Pallas kernel for the whole substep loop: every
+        # FK/ABA/contact intermediate stays in VMEM (physics/fused.py)
+        from isaacgymenv_tpu.physics import fused as fused_mod
+
+        n = state.q.shape[0]
+        run = fused_mod.build_fused_substep(
+            model, h, substeps, n,
+            interpret=jax.default_backend() not in ("tpu",),
+        )
+        nd = model.nd
+        bc = lambda x: jnp.broadcast_to(x, (n, nd))
+        q_new, qd_new, dof_force, cf, ct = run(
+            state.q, state.qd, bc(ctrl.pos_target), bc(ctrl.vel_target),
+            bc(ctrl.effort),
+        )
+        state = state.replace(
+            q=q_new, qd=qd_new, dof_force=dof_force,
+            contact_force=cf, contact_torque=ct,
+        )
+        return forward(model, terrain, state)
     if substeps == 1:
         state = _substep(model, terrain, state, ctrl, h)
     else:
@@ -266,6 +290,17 @@ def step(
 
         state, _ = jax.lax.scan(body, state, None, length=substeps)
     return forward(model, terrain, state)
+
+
+def _use_fused(model, terrain, ctrl, state) -> bool:
+    # opt-out escape hatch; see physics/fused.py for the fast-path scope
+    if os.environ.get("ISAACGYMENV_TPU_NO_FUSED", "") == "1":
+        return False
+    if state.q.ndim != 2:
+        return False
+    from isaacgymenv_tpu.physics import fused as fused_mod
+
+    return fused_mod.fused_ok(model, terrain, ctrl.body_wrench, state.q.shape[0])
 
 
 def forward(model: SimModel, terrain, state: SimState) -> SimState:

@@ -1,0 +1,662 @@
+"""Fused Pallas substep: the whole physics substep loop in ONE TPU kernel.
+
+The XLA engine path (`engine.step`) emits hundreds of small HBM-bound
+kernels per substep — every FK/ABA intermediate round-trips through HBM.
+This module lowers the complete substep pipeline (FK -> plane contacts ->
+actuation/passive forces -> ABA -> semi-implicit integration), including
+the inner `substeps` loop, into a single `pallas_call`: per grid cell a
+block of envs is loaded into VMEM once and every intermediate lives
+on-chip.
+
+Layout: structure-of-arrays with envs on the VPU lanes.  Every physical
+scalar (a quaternion component, one entry of a 6x6 articulated inertia) is
+a `(S, 128)` tile over S*128 envs; all spatial algebra unrolls at trace
+time into elementwise VPU ops.  There are no matmuls — a 3x3 rotation
+apply is 9 fused multiply-adds per env — so the kernel is pure VPU work
+with ~KBs of HBM traffic per step (q/qd/targets in, q/qd/forces out).
+
+Replicates `engine._substep` for the fast-path model class (floating/fixed
+base + revolute/prismatic joints, sphere-vs-flat-ground contacts, no pair
+contacts/anchors/tendons/gravcomp/DR-batched model leaves); `fused_ok`
+gates dispatch and everything else falls back to the XLA path.  Numerical
+equivalence vs engine.step is tested in tests/test_fused.py.
+
+ref: SURVEY.md §7 "hard parts" #7 (throughput; "this is the Pallas work").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from isaacgymenv_tpu.physics.types import (
+    DRIVE_EFFORT,
+    DRIVE_NONE,
+    DRIVE_POS,
+    DRIVE_VEL,
+    JT_FIXED,
+    JT_FREE,
+    JT_PRISMATIC,
+    JT_REVOLUTE,
+    SimModel,
+)
+
+# passive-force constants imported from the XLA engine so the two paths can
+# never drift apart
+from isaacgymenv_tpu.physics.engine import (  # noqa: E402
+    _FRICTION_VEL_EPS,
+    _LIMIT_DAMPING,
+    _LIMIT_STIFFNESS,
+)
+
+LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# eligibility
+# ---------------------------------------------------------------------------
+
+
+def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
+    """True when the fused kernel reproduces engine._substep for this scene."""
+    if terrain is not None:
+        return False
+    if model.n_pairs or model.anchor_body or model.tendon_dof:
+        return False
+    if model.body_gravcomp is not None:
+        return False
+    if body_wrench is not None:
+        return False
+    if any(jt not in (JT_FREE, JT_REVOLUTE, JT_PRISMATIC, JT_FIXED) for jt in model.jtype):
+        return False
+    # static (un-batched) model leaves only — per-env DR params fall back
+    if np.asarray(model.body_mass).ndim != 1:
+        return False
+    if model.nd and np.asarray(model.dof_stiffness).ndim != 1:
+        return False
+    if np.asarray(model.geom_friction).ndim != 1:
+        return False
+    if np.asarray(model.gravity).ndim != 1:
+        return False
+    if num_envs % LANES != 0:
+        return False
+    return True
+
+
+def _block_s(num_envs: int) -> int:
+    """Sublanes per grid cell: up to one full fp32 tile (8x128 envs)."""
+    for s in (8, 4, 2, 1):
+        if num_envs % (s * LANES) == 0:
+            return s
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# scalar-SIMD helpers: values are (S, 128) arrays OR python-float constants;
+# vectors/quats/matrices are python tuples of them.  Everything unrolls at
+# trace time into elementwise VPU ops.
+# ---------------------------------------------------------------------------
+
+
+def _vadd(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _vsub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _quat_to_R(q):
+    """xyzw quat (4-tuple) -> 3x3 row-major nested tuple (maths.quat_to_rotmat)."""
+    x, y, z, w = q
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (
+        (1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)),
+        (2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)),
+        (2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)),
+    )
+
+
+def _mmul(A, B):
+    return tuple(
+        tuple(sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3))
+        for i in range(3)
+    )
+
+
+def _mvec(A, v):
+    return tuple(sum(A[i][k] * v[k] for k in range(3)) for i in range(3))
+
+
+def _mTvec(A, v):
+    return tuple(sum(A[k][i] * v[k] for k in range(3)) for i in range(3))
+
+
+def _rodrigues_static(axis, sn, cs):
+    """Rotation about a STATIC unit axis (python floats) by traced angle."""
+    ax, ay, az = (float(a) for a in axis)
+    C = 1.0 - cs
+    return (
+        (cs + ax * ax * C, ax * ay * C - az * sn, ax * az * C + ay * sn),
+        (ay * ax * C + az * sn, cs + ay * ay * C, ay * az * C - ax * sn),
+        (az * ax * C - ay * sn, az * ay * C + ax * sn, cs + az * az * C),
+    )
+
+
+# spatial 6-vectors: tuple of 6 = [angular(3), linear(3)] (physics/spatial.py)
+
+
+def _mot_to_child(R, p, m):
+    """spatial.mot_to_child: parent-frame motion -> child frame."""
+    w_p, v_p = m[:3], m[3:]
+    w = _mTvec(R, w_p)
+    v = _mTvec(R, _vsub(v_p, _cross(p, w_p)))
+    return w + v
+
+
+def _frc_to_parent(R, p, f):
+    """spatial.frc_to_parent: child-frame force -> parent frame."""
+    lin = _mvec(R, f[3:])
+    n = _vadd(_mvec(R, f[:3]), _cross(p, lin))
+    return n + lin
+
+
+def _crm(v, m):
+    """spatial motion cross product v x m."""
+    w, vl = v[:3], v[3:]
+    mw, mv = m[:3], m[3:]
+    return _cross(w, mw) + _vadd(_cross(w, mv), _cross(vl, mw))
+
+
+def _crf(v, f):
+    """spatial force cross product v x* f."""
+    w, vl = v[:3], v[3:]
+    return _vadd(_cross(w, f[:3]), _cross(vl, f[3:])) + _cross(w, f[3:])
+
+
+def _spatial_inertia_const(mass, com, inertia_com):
+    """spatial.spatial_inertia for STATIC params -> 6x6 numpy about body origin."""
+    m = float(mass)
+    c = np.asarray(com, np.float64)
+    cx = np.array([[0, -c[2], c[1]], [c[2], 0, -c[0]], [-c[1], c[0], 0.0]])
+    I = np.zeros((6, 6))
+    I[:3, :3] = np.asarray(inertia_com) + m * cx @ cx.T
+    I[:3, 3:] = m * cx
+    I[3:, :3] = m * cx.T
+    I[3:, 3:] = m * np.eye(3)
+    return I
+
+
+def _inertia_to_parent(R, p, I):
+    """spatial.inertia_to_parent (Xf(c->p) I Xm(p->c)) via 3x3 blocks:
+    with E=R A R^T, F=R B R^T, G=R C R^T, H=R D R^T and px=skew(p):
+      A' = E - F px + px G - px H px;  B' = F + px H
+      C' = G - H px;                   D' = H
+    """
+    A = [[I[i][j] for j in range(3)] for i in range(3)]
+    B = [[I[i][3 + j] for j in range(3)] for i in range(3)]
+    C = [[I[3 + i][j] for j in range(3)] for i in range(3)]
+    D = [[I[3 + i][3 + j] for j in range(3)] for i in range(3)]
+
+    def conj(M):  # R M R^T
+        RM = _mmul(R, M)
+        return tuple(
+            tuple(sum(RM[i][k] * R[j][k] for k in range(3)) for j in range(3))
+            for i in range(3)
+        )
+
+    E, F, G, H = conj(A), conj(B), conj(C), conj(D)
+    p0, p1, p2 = p
+
+    def skew_mul(M):  # px @ M
+        return (
+            tuple(-p2 * M[1][j] + p1 * M[2][j] for j in range(3)),
+            tuple(p2 * M[0][j] - p0 * M[2][j] for j in range(3)),
+            tuple(-p1 * M[0][j] + p0 * M[1][j] for j in range(3)),
+        )
+
+    def mul_skew(M):  # M @ px
+        return tuple(
+            (
+                M[i][1] * p2 - M[i][2] * p1,
+                M[i][2] * p0 - M[i][0] * p2,
+                M[i][0] * p1 - M[i][1] * p0,
+            )
+            for i in range(3)
+        )
+
+    def madd(sign_Ms):
+        return tuple(
+            tuple(sum(s * M[i][j] for s, M in sign_Ms) for j in range(3))
+            for i in range(3)
+        )
+
+    pxG = skew_mul(G)
+    Fpx = mul_skew(F)
+    pxHpx = mul_skew(skew_mul(H))
+    Ap = madd([(1.0, E), (1.0, pxG), (-1.0, Fpx), (-1.0, pxHpx)])
+    Bp = madd([(1.0, F), (1.0, skew_mul(H))])
+    Cp = madd([(1.0, G), (-1.0, mul_skew(H))])
+    return tuple(
+        tuple(
+            (Ap[i][j] if i < 3 and j < 3 else
+             Bp[i][j - 3] if i < 3 else
+             Cp[i - 3][j] if j < 3 else
+             H[i - 3][j - 3])
+            for j in range(6)
+        )
+        for i in range(6)
+    )
+
+
+def _chol_solve6(A, b):
+    """Solve A x = b for symmetric positive-definite 6x6 (unrolled Cholesky)."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return tuple(x)
+
+
+# ---------------------------------------------------------------------------
+# kernel builder
+# ---------------------------------------------------------------------------
+
+
+def build_fused_substep(
+    model: SimModel, dt: float, substeps: int, num_envs: int, interpret: bool = False
+):
+    """Return fn(q, qd, pos_target, vel_target, effort) ->
+    (q_new, qd_new, dof_force, contact_force, contact_torque)
+    with shapes (N,nq) (N,nv) (N,nd) (N,nb,3) (N,nb,3)."""
+    nb, nq, nv, nd, ng = model.nb, model.nq, model.nv, model.nd, model.ng
+    S = _block_s(num_envs)
+    grid = num_envs // (S * LANES)
+    h = float(dt)
+
+    # ---- static model constants
+    jtype, parent = model.jtype, model.parent
+    q_adr, v_adr = model.q_adr, model.v_adr
+    g_vec = np.asarray(model.gravity, np.float64)
+    joint_pos_c = np.asarray(model.joint_pos, np.float64)
+    joint_quat_c = np.asarray(model.joint_quat, np.float64)
+    joint_axis_c = np.asarray(model.joint_axis, np.float64)
+    R_tree_c = [
+        tuple(tuple(float(v) for v in row) for row in
+              np.asarray(_quat_to_R(tuple(joint_quat_c[i])), np.float64))
+        for i in range(nb)
+    ]
+    I_const = [
+        tuple(tuple(float(v) for v in row) for row in _spatial_inertia_const(
+            np.asarray(model.body_mass)[i],
+            np.asarray(model.body_com)[i],
+            np.asarray(model.body_inertia)[i],
+        ))
+        for i in range(nb)
+    ]
+    d_body = model.dof_body
+    d_lower = np.asarray(model.dof_lower, np.float64)
+    d_upper = np.asarray(model.dof_upper, np.float64)
+    d_effort = np.asarray(model.dof_effort, np.float64)
+    d_maxvel = np.asarray(model.dof_maxvel, np.float64)
+    d_arm = np.asarray(model.dof_armature, np.float64)
+    d_fric = np.asarray(model.dof_friction, np.float64)
+    d_kp = np.asarray(model.dof_stiffness, np.float64)
+    d_kd = np.asarray(model.dof_damping, np.float64)
+    d_mode = np.asarray(model.dof_drive_mode)
+    d_haslim = np.asarray(model.dof_has_limit)
+    dof_of_body = {int(b): d for d, b in enumerate(d_body)}
+
+    geom_body = model.geom_body
+    geom_off = np.asarray(model.geom_offset, np.float64)
+    geom_r = np.asarray(model.geom_radius, np.float64)
+    geom_mu = np.asarray(model.geom_friction, np.float64)
+    geom_meff = np.asarray(model.geom_meff, np.float64)
+    geom_meff_el = (
+        np.asarray(model.geom_meff_el, np.float64)
+        if model.geom_meff_el is not None else geom_meff
+    )
+    kn_c = float(np.asarray(model.contact_stiffness))
+    kd_c = float(np.asarray(model.contact_damping))
+    kt_c = float(np.asarray(model.tangential_stiffness))
+
+    def kernel(q_ref, qd_ref, tgt_ref, vtgt_ref, eff_ref,
+               qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref):
+        q = [q_ref[i] for i in range(nq)]
+        qd = [qd_ref[i] for i in range(nv)]
+        tgt = [tgt_ref[i] for i in range(nd)]
+        vtgt = [vtgt_ref[i] for i in range(nd)]
+        eff = [eff_ref[i] for i in range(nd)]
+        zero = jnp.zeros_like(q_ref[0])
+
+        def substep(q, qd):
+            # ---------------- FK ----------------
+            R_l = [None] * nb
+            p_l = [None] * nb
+            R_w = [None] * nb
+            p_w = [None] * nb
+            v = [None] * nb
+            vJ = [None] * nb
+            for i in range(nb):
+                jt = jtype[i]
+                qa, va = q_adr[i], v_adr[i]
+                R_tree = R_tree_c[i]
+                p_tree = tuple(float(x) for x in joint_pos_c[i])
+                if jt == JT_FREE:
+                    quat = (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
+                    R = _mmul(R_tree, _quat_to_R(quat))
+                    p = _vadd(p_tree, _mvec(R_tree, (q[qa], q[qa + 1], q[qa + 2])))
+                    vj = tuple(qd[va + k] for k in range(6))
+                elif jt == JT_REVOLUTE:
+                    ax = joint_axis_c[i]
+                    R = _mmul(R_tree, _rodrigues_static(ax, jnp.sin(q[qa]), jnp.cos(q[qa])))
+                    p = p_tree
+                    vj = tuple(float(a) * qd[va] for a in ax) + (zero, zero, zero)
+                elif jt == JT_PRISMATIC:
+                    ax = joint_axis_c[i]
+                    R = R_tree
+                    p = _vadd(p_tree, _mvec(R_tree, tuple(float(a) * q[qa] for a in ax)))
+                    vj = (zero, zero, zero) + tuple(float(a) * qd[va] for a in ax)
+                else:  # FIXED
+                    R, p, vj = R_tree, p_tree, (zero,) * 6
+                R_l[i], p_l[i], vJ[i] = R, p, vj
+                par = parent[i]
+                if par < 0:
+                    R_w[i], p_w[i], v[i] = R, p, vj
+                else:
+                    R_w[i] = _mmul(R_w[par], R)
+                    p_w[i] = _vadd(p_w[par], _mvec(R_w[par], p))
+                    v[i] = _vadd(_mot_to_child(R, p, v[par]), vj)
+
+            # ---------------- contacts (flat ground z=0) ----------------
+            f_ext = [(zero,) * 6 for _ in range(nb)]
+            cf_out = [(zero,) * 3 for _ in range(nb)]
+            ct_out = [(zero,) * 3 for _ in range(nb)]
+            for g in range(ng):
+                b = geom_body[g]
+                off_w = _mvec(R_w[b], tuple(float(x) for x in geom_off[g]))
+                pos_z = p_w[b][2] + off_w[2]
+                ang_w = _mvec(R_w[b], v[b][:3])
+                lin_w = _mvec(R_w[b], v[b][3:])
+                vel = _vadd(lin_w, _cross(ang_w, off_w))
+                depth = float(geom_r[g]) - pos_z
+                active = depth > 0.0
+                arrest = 0.25 * float(geom_meff[g]) / h
+                kn_eff = min(kn_c, float(geom_meff_el[g]) / (h * h))
+                d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
+                approach = jnp.maximum(-vel[2], 0.0)
+                f_damp = jnp.minimum(kd_c * d_pos, arrest) * approach
+                fn = jnp.where(active, kn_eff * d_pos + f_damp, 0.0)
+                vt_norm = jnp.sqrt(vel[0] * vel[0] + vel[1] * vel[1])
+                ft_mag = jnp.minimum(
+                    min(arrest, kt_c) * vt_norm, float(geom_mu[g]) * fn
+                )
+                scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
+                f_w = (-vel[0] * scale, -vel[1] * scale, fn)
+                torque = _cross(off_w, f_w)
+                f_ext[b] = _vadd(f_ext[b], torque + f_w)
+                cf_out[b] = _vadd(cf_out[b], f_w)
+                ct_out[b] = _vadd(ct_out[b], torque)
+
+            # ---------------- joint forces + implicit diagonal ----------
+            tau_d = [None] * nd
+            d_extra = [None] * nd
+            for d in range(nd):
+                b = d_body[d]
+                dp, dv = q[q_adr[b]], qd[v_adr[b]]
+                mode = int(d_mode[d])
+                kp, kd_ = float(d_kp[d]), float(d_kd[d])
+                if mode == DRIVE_POS:
+                    tau_a = kp * (tgt[d] - dp) - kd_ * dv
+                elif mode == DRIVE_VEL:
+                    tau_a = kd_ * (vtgt[d] - dv)
+                elif mode == DRIVE_EFFORT:
+                    tau_a = eff[d]
+                else:
+                    tau_a = zero
+                lim = float(d_effort[d])
+                tau_a = jnp.clip(tau_a, -lim, lim)
+                lo, hi = float(d_lower[d]), float(d_upper[d])
+                fr = float(d_fric[d])
+                if bool(d_haslim[d]):
+                    below = jnp.minimum(dp - lo, 0.0)
+                    above = jnp.maximum(dp - hi, 0.0)
+                    at_lim = ((below < 0.0) | (above > 0.0)).astype(dp.dtype)
+                    tau_p = -_LIMIT_STIFFNESS * (below + above) - _LIMIT_DAMPING * dv * at_lim
+                    kp_imp = _LIMIT_STIFFNESS * at_lim
+                    kd_imp = _LIMIT_DAMPING * at_lim
+                else:
+                    tau_p = zero
+                    kp_imp = 0.0
+                    kd_imp = 0.0
+                tau_p = tau_p - fr * jnp.tanh(dv / _FRICTION_VEL_EPS)
+                if mode in (DRIVE_NONE, DRIVE_EFFORT):
+                    tau_p = tau_p - kd_ * dv
+                kp_drive = kp if mode == DRIVE_POS else 0.0
+                d_extra[d] = (
+                    h * (kd_ + kd_imp + fr / _FRICTION_VEL_EPS)
+                    + h * h * (kp_drive + kp_imp)
+                )
+                tau_d[d] = tau_a + tau_p
+
+            # ---------------- ABA (mirrors dynamics.aba) ----------------
+            IA = [None] * nb
+            pA = [None] * nb
+            c_b = [None] * nb
+            for i in range(nb):
+                Ic = I_const[i]
+                IA[i] = [[Ic[r][cc] for cc in range(6)] for r in range(6)]
+                c_b[i] = _crm(v[i], vJ[i])
+                Iv = tuple(sum(Ic[r][k] * v[i][k] for k in range(6)) for r in range(6))
+                pA_i = list(_crf(v[i], Iv))
+                n_b = _mTvec(R_w[i], f_ext[i][:3])
+                f_b = _mTvec(R_w[i], f_ext[i][3:])
+                for k in range(3):
+                    pA_i[k] = pA_i[k] - n_b[k]
+                    pA_i[3 + k] = pA_i[3 + k] - f_b[k]
+                pA[i] = tuple(pA_i)
+
+            U = [None] * nb
+            dinv = [None] * nb
+            u_ = [None] * nb
+            S_ax = [None] * nb
+            for i in reversed(range(nb)):
+                jt = jtype[i]
+                par = parent[i]
+                if jt == JT_FREE:
+                    Ia = pa = None
+                elif jt == JT_FIXED:
+                    Ia = IA[i]
+                    pa = tuple(
+                        pA[i][r] + sum(IA[i][r][k] * c_b[i][k] for k in range(6))
+                        for r in range(6)
+                    )
+                else:
+                    d = dof_of_body[i]
+                    ax = joint_axis_c[i]
+                    if jt == JT_REVOLUTE:
+                        Scol = tuple(float(a) for a in ax) + (0.0, 0.0, 0.0)
+                    else:
+                        Scol = (0.0, 0.0, 0.0) + tuple(float(a) for a in ax)
+                    nz = [k for k in range(6) if Scol[k] != 0.0]
+                    S_ax[i] = Scol
+                    Ui = tuple(
+                        sum(IA[i][r][k] * Scol[k] for k in nz) for r in range(6)
+                    )
+                    di = sum(Scol[k] * Ui[k] for k in nz) + float(d_arm[d]) + d_extra[d]
+                    ui = tau_d[d] - sum(Scol[k] * pA[i][k] for k in nz)
+                    U[i], u_[i] = Ui, ui
+                    dinv[i] = 1.0 / di
+                    Ia = [
+                        [IA[i][r][cc] - Ui[r] * Ui[cc] * dinv[i] for cc in range(6)]
+                        for r in range(6)
+                    ]
+                    pa = tuple(
+                        pA[i][r]
+                        + sum(Ia[r][k] * c_b[i][k] for k in range(6))
+                        + Ui[r] * (ui * dinv[i])
+                        for r in range(6)
+                    )
+                if par >= 0:
+                    Ia_p = _inertia_to_parent(R_l[i], p_l[i], Ia)
+                    pa_p = _frc_to_parent(R_l[i], p_l[i], pa)
+                    IA[par] = [
+                        [IA[par][r][cc] + Ia_p[r][cc] for cc in range(6)]
+                        for r in range(6)
+                    ]
+                    pA[par] = tuple(pA[par][r] + pa_p[r] for r in range(6))
+
+            g6 = (0.0, 0.0, 0.0, float(-g_vec[0]), float(-g_vec[1]), float(-g_vec[2]))
+            qdd = [zero] * nv
+            a_b = [None] * nb
+            for i in range(nb):
+                jt = jtype[i]
+                par = parent[i]
+                if par < 0:
+                    a_par = _mot_to_child(R_w[i], p_w[i], g6)
+                else:
+                    a_par = _mot_to_child(R_l[i], p_l[i], a_b[par])
+                a_p = _vadd(a_par, c_b[i])
+                va = v_adr[i]
+                if jt == JT_FREE:
+                    rhs = tuple(
+                        -(pA[i][k] + sum(IA[i][k][m] * a_p[m] for m in range(6)))
+                        for k in range(6)
+                    )
+                    sol = _chol_solve6(IA[i], rhs)
+                    for k in range(6):
+                        qdd[va + k] = sol[k]
+                    a_b[i] = _vadd(a_p, sol)
+                elif jt == JT_FIXED:
+                    a_b[i] = a_p
+                else:
+                    qdd_i = (u_[i] - sum(U[i][k] * a_p[k] for k in range(6))) * dinv[i]
+                    qdd[va] = qdd_i
+                    a_b[i] = tuple(a_p[k] + S_ax[i][k] * qdd_i for k in range(6))
+
+            # ---------------- integrate (mirrors engine._integrate) ------
+            qd_new = [qd[k] + qdd[k] * h for k in range(nv)]
+            for d in range(nd):
+                va = v_adr[d_body[d]]
+                mv = float(d_maxvel[d])
+                qd_new[va] = jnp.clip(qd_new[va], -mv, mv)
+            q_new = list(q)
+            for b in range(nb):
+                if jtype[b] != JT_FREE:
+                    continue
+                qa, va = q_adr[b], v_adr[b]
+                quat = (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
+                Rq = _quat_to_R(quat)
+                om_w = _mvec(Rq, (qd_new[va], qd_new[va + 1], qd_new[va + 2]))
+                v_w = _mvec(Rq, (qd_new[va + 3], qd_new[va + 4], qd_new[va + 5]))
+                for k in range(3):
+                    q_new[qa + k] = q_new[qa + k] + v_w[k] * h
+                ang = jnp.sqrt(om_w[0] ** 2 + om_w[1] ** 2 + om_w[2] ** 2)
+                half = 0.5 * ang * h
+                kf = jnp.where(
+                    ang > 1e-9, jnp.sin(half) / jnp.maximum(ang, 1e-9), 0.5 * h
+                )
+                x1, y1, z1 = om_w[0] * kf, om_w[1] * kf, om_w[2] * kf
+                w1 = jnp.cos(half)
+                x2, y2, z2, w2 = quat
+                qx = w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2
+                qy = w1 * y2 + y1 * w2 + z1 * x2 - x1 * z2
+                qz = w1 * z2 + z1 * w2 + x1 * y2 - y1 * x2
+                qw = w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2
+                inv = 1.0 / jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+                q_new[qa + 3] = qx * inv
+                q_new[qa + 4] = qy * inv
+                q_new[qa + 5] = qz * inv
+                q_new[qa + 6] = qw * inv
+            for d in range(nd):
+                b = d_body[d]
+                q_new[q_adr[b]] = q_new[q_adr[b]] + qd_new[v_adr[b]] * h
+            return q_new, qd_new, tau_d, cf_out, ct_out
+
+        tau_last = [zero] * nd
+        cf_last = [(zero,) * 3] * nb
+        ct_last = [(zero,) * 3] * nb
+        for _ in range(substeps):
+            q, qd, tau_last, cf_last, ct_last = substep(q, qd)
+        for i in range(nq):
+            qo_ref[i] = q[i]
+        for i in range(nv):
+            qdo_ref[i] = qd[i]
+        for d in range(nd):
+            dfo_ref[d] = tau_last[d]
+        for b in range(nb):
+            for k in range(3):
+                cf_ref[b * 3 + k] = cf_last[b][k] + zero
+                ct_ref[b * 3 + k] = ct_last[b][k] + zero
+
+    def to_soa(x, d):
+        return jnp.moveaxis(x, -1, 0).reshape(d, num_envs // LANES, LANES)
+
+    def from_soa(x):
+        d = x.shape[0]
+        return jnp.moveaxis(x.reshape(d, num_envs), 0, -1)
+
+    def spec(d):
+        return pl.BlockSpec(
+            (d, S, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    shape = lambda d: jax.ShapeDtypeStruct(
+        (d, num_envs // LANES, LANES), jnp.float32
+    )
+
+    def run(q, qd, pos_target, vel_target, effort):
+        f32 = jnp.float32
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[spec(nq), spec(nv), spec(nd), spec(nd), spec(nd)],
+            out_specs=[spec(nq), spec(nv), spec(nd), spec(nb * 3), spec(nb * 3)],
+            out_shape=[shape(nq), shape(nv), shape(nd), shape(nb * 3), shape(nb * 3)],
+            interpret=interpret,
+        )(
+            to_soa(q.astype(f32), nq),
+            to_soa(qd.astype(f32), nv),
+            to_soa(pos_target.astype(f32), nd),
+            to_soa(vel_target.astype(f32), nd),
+            to_soa(effort.astype(f32), nd),
+        )
+        q_new = from_soa(outs[0])
+        qd_new = from_soa(outs[1])
+        dof_force = from_soa(outs[2])
+        cf = from_soa(outs[3]).reshape(num_envs, nb, 3)
+        ct = from_soa(outs[4]).reshape(num_envs, nb, 3)
+        return q_new, qd_new, dof_force, cf, ct
+
+    return run

@@ -1,0 +1,135 @@
+"""Fused Pallas substep vs the XLA engine path: numerical equivalence.
+
+The fused kernel (physics/fused.py) must reproduce engine._substep exactly
+(same formulas, same order of ops — tolerances cover fp32 reassociation).
+Runs in pallas interpret mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from isaacgymenv_tpu.physics import engine
+from isaacgymenv_tpu.physics.builder import ModelBuilder
+from isaacgymenv_tpu.physics.meff import attach_effective_masses
+from isaacgymenv_tpu.physics.types import (
+    DRIVE_EFFORT,
+    DRIVE_POS,
+    JT_FIXED,
+    JT_FREE,
+    JT_PRISMATIC,
+    JT_REVOLUTE,
+    SimState,
+)
+
+N = 128  # one lane-width of envs
+
+
+def _quad_model():
+    """Floating trunk + 2 revolute legs w/ foot spheres + prismatic slider +
+    fixed sensor body: exercises every fast-path joint type, POS and EFFORT
+    drives, limits, friction, armature, and ground contact."""
+    mb = ModelBuilder()
+    trunk = mb.add_body(
+        "trunk", -1, JT_FREE, mass=5.0,
+        inertia=np.diag([0.05, 0.07, 0.09]), com=(0.01, 0.0, -0.02),
+    )
+    mb.add_geom_sphere(trunk, (0.0, 0.0, -0.05), 0.06, friction=0.9)
+    for side, y in (("l", 0.15), ("r", -0.15)):
+        hip = mb.add_body(
+            f"hip_{side}", trunk, JT_REVOLUTE, joint_pos=(0.1, y, 0.0),
+            joint_axis=(0, 1, 0), mass=0.8, com=(0, 0, -0.12),
+            inertia=np.diag([0.004, 0.004, 0.001]),
+            drive_mode=DRIVE_POS, stiffness=60.0, damping=2.0,
+            lower=-1.2, upper=1.2, has_limit=True, effort=40.0,
+            armature=0.01, friction=0.05, maxvel=20.0,
+        )
+        foot = mb.add_body(
+            f"foot_{side}", hip, JT_FIXED, joint_pos=(0.0, 0.0, -0.25),
+            mass=0.1, inertia=np.diag([1e-4] * 3),
+        )
+        mb.add_geom_sphere(foot, (0.0, 0.0, 0.0), 0.03, friction=1.1)
+    slider = mb.add_body(
+        "slider", trunk, JT_PRISMATIC, joint_pos=(-0.1, 0.0, 0.05),
+        joint_axis=(1, 0, 0), mass=0.3, com=(0.02, 0, 0),
+        inertia=np.diag([2e-4, 3e-4, 3e-4]),
+        drive_mode=DRIVE_EFFORT, lower=-0.2, upper=0.2, has_limit=True,
+        effort=15.0, armature=0.002, friction=0.02, maxvel=5.0,
+    )
+    mb.add_geom_sphere(slider, (0.05, 0.0, 0.0), 0.02, friction=0.8)
+    mb.gravity = np.array([0.0, 0.0, -9.81])
+    return attach_effective_masses(mb.finalize())
+
+
+def _rand_state(model, key, z0=0.45):
+    kq, kv = jax.random.split(key)
+    q0 = jnp.zeros((N, model.nq))
+    q0 = q0.at[:, 2].set(z0 + 0.05 * jax.random.uniform(kq, (N,)))
+    quat = jax.random.normal(kq, (N, 4)) * 0.1 + jnp.array([0, 0, 0, 1.0])
+    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    q0 = q0.at[:, 3:7].set(quat)
+    q0 = q0.at[:, 7:].set(0.3 * jax.random.normal(kq, (N, model.nq - 7)))
+    qd0 = 0.5 * jax.random.normal(kv, (N, model.nv))
+    return q0, qd0
+
+
+def _empty_sim(model, q, qd):
+    n, nb = q.shape[0], model.nb
+    z3 = jnp.zeros((n, nb, 3))
+    return SimState(
+        q=q, qd=qd,
+        body_pos=z3, body_quat=jnp.zeros((n, nb, 4)).at[..., 3].set(1.0),
+        body_linvel=z3, body_angvel=z3,
+        contact_force=z3, contact_torque=z3,
+        dof_force=jnp.zeros((n, model.nd)),
+    )
+
+
+@pytest.mark.parametrize("substeps", [1, 4])
+def test_fused_matches_engine(substeps, monkeypatch):
+    model = _quad_model()
+    key = jax.random.PRNGKey(0)
+    q0, qd0 = _rand_state(model, key)
+    sim0 = _empty_sim(model, q0, qd0)
+    n = N
+    ctrl = engine.Control.zero(model, n).replace(
+        pos_target=0.4 * jax.random.normal(jax.random.fold_in(key, 1), (n, model.nd)),
+        effort=5.0 * jax.random.normal(jax.random.fold_in(key, 2), (n, model.nd)),
+    )
+    dt = 0.02
+
+    from isaacgymenv_tpu.physics import fused as fused_mod
+
+    assert fused_mod.fused_ok(model, None, ctrl.body_wrench, n)
+
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
+    ref = engine.step(model, None, sim0, ctrl, dt, substeps)
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    out = engine.step(model, None, sim0, ctrl, dt, substeps)
+
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.qd), np.asarray(ref.qd), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.dof_force), np.asarray(ref.dof_force), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.contact_force), np.asarray(ref.contact_force),
+        rtol=2e-3, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body_pos), np.asarray(ref.body_pos), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_gate_rejects_unsupported():
+    from isaacgymenv_tpu.physics import fused as fused_mod
+
+    model = _quad_model()
+    ctrl = engine.Control.zero(model, N)
+    # wrong env multiple
+    assert not fused_mod.fused_ok(model, None, ctrl.body_wrench, 100)
+    # body wrench present
+    assert not fused_mod.fused_ok(
+        model, None, jnp.zeros((N, model.nb, 6)), N
+    )
