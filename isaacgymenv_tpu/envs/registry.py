@@ -74,4 +74,8 @@ _TASKS = [
     ("allegro_kuka_two_arms", "AllegroKukaTwoArmsRegrasping", "AllegroKukaTwoArmsRegrasping"),
     ("allegro_kuka_two_arms", "AllegroKukaTwoArmsReorientation", "AllegroKukaTwoArms"),
     ("factory_nut_bolt_pick", "FactoryTaskNutBoltPick", "FactoryTaskNutBoltPick"),
+    ("factory_nut_bolt_place", "FactoryTaskNutBoltPlace", "FactoryTaskNutBoltPlace"),
+    ("factory_nut_bolt_screw", "FactoryTaskNutBoltScrew", "FactoryTaskNutBoltScrew"),
+    ("factory_sandbox", "FactoryTaskInsertion", "FactoryTaskInsertion"),
+    ("factory_sandbox", "FactoryTaskGears", "FactoryTaskGears"),
 ]

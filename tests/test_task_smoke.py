@@ -22,6 +22,7 @@ _REPRESENTATIVE = {
     "Cartpole", "Ant", "Anymal", "AnymalTerrain", "Houndarm", "UsefulHound",
     "BallBalance", "Quadcopter", "ShadowHand", "FrankaCubeStack",
     "HumanoidAMP", "Trifinger", "AllegroKukaThrow", "AllegroHandDextremeADR",
+    "FactoryTaskNutBoltScrew",  # exercises the JT_SCREW helical joint
 }
 
 
