@@ -64,11 +64,45 @@ ADR_KEYS = [
     ("object_pose_cam_randomized", 7), ("goal_relative_rot_cam_randomized", 4),
 ]
 
+# Asymmetric actor/critic key selections — EXACTLY the reference train-config
+# `network.inputs` / `central_value_config.network.inputs` lists
+# (ref: cfg/train/AllegroHandDextremeManualDRPPO.yaml:24-30,102-117 and
+# cfg/train/AllegroHandDextremeADRPPO.yaml:24-29,102-127).  The policy sees
+# only the noisy/delayed 50-dim subset; the central-value critic sees the
+# privileged simulation state.
+MANUAL_ACTOR_KEYS = [
+    ("dof_pos_randomized", 16), ("object_pose_cam_randomized", 7),
+    ("goal_pose_randomized", 7), ("goal_relative_rot_cam_randomized", 4),
+    ("last_actions_randomized", 16),
+]
+MANUAL_CRITIC_KEYS = [
+    ("dof_pos", 16), ("dof_vel", 16), ("dof_force", 16),
+    ("object_pose", 7), ("object_pose_cam_randomized", 7), ("object_vels", 6),
+    ("goal_pose", 7), ("goal_relative_rot", 4), ("last_actions", 16),
+    ("ft_force_torques", 24), ("gravity_vec", 3), ("ft_states", 52),
+]
+ADR_ACTOR_KEYS = [
+    ("dof_pos_randomized", 16), ("object_pose_cam_randomized", 7),
+    ("goal_pose", 7), ("goal_relative_rot_cam_randomized", 4),
+    ("last_actions", 16),
+]
+ADR_CRITIC_KEYS = [
+    ("dof_pos", 16), ("dof_vel", 16), ("dof_force", 16),
+    ("object_pose", 7), ("object_pose_cam_randomized", 7), ("object_vels", 6),
+    ("goal_pose", 7), ("goal_relative_rot", 4), ("last_actions", 16),
+    ("stochastic_delay_params", 4), ("affine_params", 78),
+    ("cube_random_params", 3), ("hand_random_params", 1),
+    ("ft_force_torques", 24), ("gravity_vec", 3), ("ft_states", 52),
+    ("rot_dist", 2), ("rb_forces", 3),
+]
+
 
 @register("AllegroHandDextremeManualDR")
 class AllegroHandDextremeManualDR(AllegroHand):
     num_actions = 16
-    OBS_KEYS = MANUAL_KEYS
+    OBS_KEYS = MANUAL_KEYS  # full dict layout (ref get_num_obs_dict :1515)
+    ACTOR_KEYS = MANUAL_ACTOR_KEYS
+    CRITIC_KEYS = MANUAL_CRITIC_KEYS
 
     def __init__(self, cfg):
         e = cfg["env"]
@@ -80,8 +114,30 @@ class AllegroHandDextremeManualDR(AllegroHand):
         if reset_time > 0:
             e["episodeLength"] = int(round(reset_time / (cfi * 1 / 60.0)))
         super().__init__(cfg)
-        self.num_obs = sum(d for _, d in self.OBS_KEYS)
-        self.num_states = 0
+        # dict-obs runtime: policy obs = ACTOR_KEYS concat (50-dim), critic
+        # states = CRITIC_KEYS concat — the ComplexObsRLGPUEnv contract with
+        # concat=True (ref: utils/rlgames_utils.py:298-423, train.py:156-170)
+        self.num_obs = sum(d for _, d in self.ACTOR_KEYS)
+        self.num_states = sum(d for _, d in self.CRITIC_KEYS)
+        # per-key white/correlated obs noise (ref task yaml
+        # task.randomization_params.observations; white is gated at 50%
+        # probability — the reference's hidden `apply_white_noise_prob`)
+        obs_rand = (
+            cfg.get("task", {}).get("randomization_params", {}).get("observations", {})
+        )
+
+        def _noise(key_, default_white=0.005, default_corr=0.01):
+            spec = obs_rand.get(key_, {})
+            return (
+                float(spec.get("range", [0, default_white])[1]),
+                float(spec.get("range_correlated", [0, default_corr])[1]),
+            )
+
+        self.obs_noise_spec = {
+            k: _noise(k)
+            for k in ("dof_pos", "object_pose_cam", "goal_pose",
+                      "goal_relative_rot_cam", "last_actions")
+        }
 
         self.action_delta_penalty = float(e.get("actionDeltaPenaltyScale", -0.01))
         self.hold_steps = int(e.get("numSuccessHoldSteps", 1))
@@ -116,6 +172,10 @@ class AllegroHandDextremeManualDR(AllegroHand):
                 "frame": jnp.zeros((), jnp.int32),
             }
         )
+        for i, k_ in enumerate(self.obs_noise_spec):
+            ts[f"corr_noise_{k_}"] = jax.random.normal(
+                jax.random.fold_in(key, 70 + i), (n, 16)
+            )
         return ts
 
     # ------------------------------------------------------------------
@@ -231,7 +291,20 @@ class AllegroHandDextremeManualDR(AllegroHand):
             ft_states=ft_states, ft_wrench=ft_wrench,
         )
 
-    def _observations(self, state, actions):
+    def _randomize_key(self, state, key_name, value, fold):
+        """White (50%-gated) + per-episode correlated gaussian noise on one
+        obs key (ref: adr_vec_task.py:143-151 `*_randomized` duplicates +
+        the task yaml noise spec; correlated noise is refreshed per episode
+        here vs per DR-frequency window in the reference — documented)."""
+        white_s, corr_s = self.obs_noise_spec[key_name]
+        k = jax.random.fold_in(state.rng, fold)
+        k_w, k_gate = jax.random.split(k)
+        white = white_s * jax.random.normal(k_w, value.shape)
+        gate = jax.random.uniform(k_gate, value.shape[:1]) < 0.5
+        corr = state.ts[f"corr_noise_{key_name}"][..., : value.shape[-1]]
+        return value + jnp.where(gate[:, None], white, 0.0) + corr_s * corr
+
+    def _obs_dict(self, state, actions):
         p = self._obs_pieces(state)
         ts = state.ts
         n = p["dp"].shape[0]
@@ -252,7 +325,32 @@ class AllegroHandDextremeManualDR(AllegroHand):
             "rot_dist": jnp.stack([p["rot_dist"], best], -1),
             "ft_states": p["ft_states"], "ft_force_torques": p["ft_wrench"],
         }
-        return jnp.concatenate([pieces[k] for k, _ in self.OBS_KEYS], axis=-1)
+        pieces["dof_pos_randomized"] = self._randomize_key(
+            state, "dof_pos", pieces["dof_pos"], 61
+        )
+        pieces["object_pose_cam_randomized"] = self._randomize_key(
+            state, "object_pose_cam", cam_pose, 62
+        )
+        pieces["goal_pose_randomized"] = self._randomize_key(
+            state, "goal_pose", pieces["goal_pose"], 63
+        )
+        pieces["goal_relative_rot_cam_randomized"] = self._randomize_key(
+            state, "goal_relative_rot_cam", cam_rel_rot, 64
+        )
+        pieces["last_actions_randomized"] = self._randomize_key(
+            state, "last_actions", pieces["last_actions"], 65
+        )
+        return pieces
+
+    def _observations(self, state, actions):
+        pieces = self._obs_dict(state, actions)
+        return jnp.concatenate([pieces[k] for k, _ in self.ACTOR_KEYS], axis=-1)
+
+    def _states(self, state, obs):
+        # privileged central-value input (XLA CSE dedupes the shared pieces
+        # recomputed across _observations/_states within one step jit)
+        pieces = self._obs_dict(state, jnp.zeros((self.num_envs, 16)))
+        return jnp.concatenate([pieces[k] for k, _ in self.CRITIC_KEYS], axis=-1)
 
     def _reward_done(self, state, obs, actions):
         """Dextreme reward (ref compute_hand_reward :1614-1665): hold-to-score
@@ -317,6 +415,12 @@ class AllegroHandDextremeManualDR(AllegroHand):
         mm = mask[:, None]
         ts["prev_actions"] = jnp.where(mm, 0.0, ts["prev_actions"])
         ts["action_queue"] = jnp.where(mask[:, None, None], 0.0, ts["action_queue"])
+        # refresh per-episode correlated obs noise (ref range_correlated)
+        for i, k_ in enumerate(self.obs_noise_spec):
+            fresh = jax.random.normal(
+                jax.random.fold_in(key, 80 + i), (mask.shape[0], 16)
+            )
+            ts[f"corr_noise_{k_}"] = jnp.where(mm, fresh, ts[f"corr_noise_{k_}"])
         return state.replace(ts=ts)
 
 
@@ -325,6 +429,8 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
     """ADR variant: noise magnitudes governed by the tensorized ADR engine."""
 
     OBS_KEYS = ADR_KEYS
+    ACTOR_KEYS = ADR_ACTOR_KEYS
+    CRITIC_KEYS = ADR_CRITIC_KEYS
 
     # tensorized ADR params (ref cfg/task/AllegroHandDextremeADR.yaml:286-400)
     ADR_DEFAULTS = {
@@ -426,8 +532,8 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
         info = dict(info, adr_npd=st.npd, adr_mean_range=st.ranges.mean())
         return state.replace(ts=ts), reward, resets, info
 
-    def _observations(self, state, actions):
-        # ADR key order with the extra randomized/ADR blocks
+    def _obs_dict(self, state, actions):
+        # full ADR obs dict with the extra randomized/ADR blocks
         ts = state.ts
         p = self._obs_pieces(state)
         n = p["dp"].shape[0]
@@ -478,4 +584,4 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
             "object_pose_cam_randomized": cam_rand,
             "goal_relative_rot_cam_randomized": cam_rel_rot,
         }
-        return jnp.concatenate([pieces[k_] for k_, _ in self.OBS_KEYS], axis=-1)
+        return pieces

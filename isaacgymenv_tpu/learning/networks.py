@@ -59,6 +59,30 @@ class ActorCritic(nn.Module):
         return mu, log_std, value
 
 
+class CentralValueNet(nn.Module):
+    """Privileged-state value network for asymmetric actor-critic.
+
+    The rl_games `central_value_config` network (ref: train.py:189-196 +
+    cfg/train/ShadowHandPPOAsymm.yaml / AllegroHandDextreme*PPO.yaml
+    `central_value_config.network`): an MLP over the env's `states` buffer
+    (ref: tasks/base/vec_task.py:344 get_state) with a scalar value head.
+    When enabled, the main policy's value head is unused and GAE/bootstrap
+    values come from this network.
+    """
+
+    units: Sequence[int] = (512, 256, 128)
+    activation: str = "elu"
+
+    @nn.compact
+    def __call__(self, states: jnp.ndarray):
+        act = _ACT[self.activation]
+        x = states
+        for i, u in enumerate(self.units):
+            x = nn.Dense(u, name=f"cv_dense_{i}")(x)
+            x = act(x)
+        return nn.Dense(1, name="cv_value")(x)[..., 0]
+
+
 class ActorCriticLSTM(nn.Module):
     """MLP trunk -> LSTM -> gaussian actor + value heads.
 

@@ -95,6 +95,12 @@ class TrainState:
     ep_length: jnp.ndarray
     mean_return: jnp.ndarray  # EMA of finished-episode returns
     mean_length: jnp.ndarray
+    # asymmetric actor-critic (central value on privileged states; None when
+    # the task has no states buffer or no central_value_config)
+    cv_params: Any = None
+    cv_opt_state: Any = None
+    states_stats: Optional[RunningStats] = None
+    last_states: Optional[jnp.ndarray] = None
 
 
 class PPO:
@@ -122,6 +128,22 @@ class PPO:
             optax.clip_by_global_norm(self.cfg.grad_norm),
             optax.inject_hyperparams(optax.adam)(learning_rate=self.cfg.learning_rate, eps=1e-8),
         )
+        # asymmetric actor-critic: rl_games central_value_config (ref:
+        # train.py:189-196; cfg/train/ShadowHandPPOAsymm.yaml).  Values come
+        # from a privileged-state critic; the actor loss drops its value term.
+        cv_cfg = p.get("config", {}).get("central_value_config")
+        self.central_value = bool(cv_cfg) and getattr(env, "num_states", 0) > 0
+        if self.central_value:
+            cv_net = cv_cfg.get("network", {}).get("mlp", {})
+            self.cv_network = networks.CentralValueNet(
+                units=tuple(cv_net.get("units", [512, 256, 128])),
+                activation=cv_net.get("activation", "elu"),
+            )
+            self.cv_mini_epochs = int(cv_cfg.get("mini_epochs", self.cfg.mini_epochs))
+            self.cv_tx = optax.chain(
+                optax.clip_by_global_norm(self.cfg.grad_norm),
+                optax.adam(float(cv_cfg.get("learning_rate", 1e-4)), eps=1e-8),
+            )
         self._num_minibatches: Optional[int] = None
 
     @property
@@ -139,12 +161,23 @@ class PPO:
     # ------------------------------------------------------------------
     def init(self, seed: int) -> TrainState:
         key = jax.random.PRNGKey(seed)
-        key, k_env, k_net = jax.random.split(key, 3)
+        key, k_env, k_net, k_cv = jax.random.split(key, 4)
         env_state = self.env.initial_state(k_env)
-        obs = self.env.observations(env_state)["obs"]
+        obs_dict = self.env.observations(env_state)
+        obs = obs_dict["obs"]
         params = self.network.init(k_net, obs[:1])
         N = self.env.num_envs
+        cv_params = cv_opt = states_stats = last_states = None
+        if self.central_value:
+            last_states = obs_dict["states"]
+            cv_params = self.cv_network.init(k_cv, last_states[:1])
+            cv_opt = self.cv_tx.init(cv_params)
+            states_stats = RunningStats.create((self.env.num_states,))
         return TrainState(
+            cv_params=cv_params,
+            cv_opt_state=cv_opt,
+            states_stats=states_stats,
+            last_states=last_states,
             params=params,
             opt_state=self.tx.init(params),
             obs_stats=RunningStats.create((self.env.num_obs,)),
@@ -188,10 +221,15 @@ class PPO:
         cfg = self.cfg
 
         def step_fn(carry, _):
-            env_state, obs, key, ep_ret, ep_len, m_ret, m_len = carry
+            env_state, obs, states, key, ep_ret, ep_len, m_ret, m_len = carry
             key, k_act = jax.random.split(key)
             n_obs = self._norm_obs(ts.obs_stats, obs)
             mu, log_std, value_n = self.network.apply(ts.params, n_obs)
+            if self.central_value:
+                n_states = (
+                    ts.states_stats.normalize(states) if cfg.normalize_input else states
+                )
+                value_n = self.cv_network.apply(ts.cv_params, n_states)
             action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
             logp = networks.gaussian_logp(mu, log_std, action)
             value = ts.value_stats.denormalize(value_n) if cfg.normalize_value else value_n
@@ -220,27 +258,43 @@ class PPO:
                 obs=obs, action=action, logp=logp, value=value, reward=rew,
                 done=done, mu=mu, log_std=log_std,
             )
+            if self.central_value:
+                out["states"] = states
             out.update(self._extra_rollout_outputs(extras))
             metrics = self._metric_rollout_outputs(extras)
             if metrics:
                 out["_env_metrics"] = metrics
-            return (env_state, obs_dict["obs"], key, ep_ret, ep_len, m_ret, m_len), out
+            next_states = obs_dict["states"] if self.central_value else states
+            return (
+                env_state, obs_dict["obs"], next_states, key,
+                ep_ret, ep_len, m_ret, m_len,
+            ), out
 
-        carry0 = (ts.env_state, ts.last_obs, ts.key, ts.ep_return, ts.ep_length,
-                  ts.mean_return, ts.mean_length)
+        states0 = ts.last_states if self.central_value else jnp.zeros(())
+        carry0 = (ts.env_state, ts.last_obs, states0, ts.key, ts.ep_return,
+                  ts.ep_length, ts.mean_return, ts.mean_length)
         carry, batch = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon_length)
-        env_state, last_obs, key, ep_ret, ep_len, m_ret, m_len = carry
+        env_state, last_obs, last_states, key, ep_ret, ep_len, m_ret, m_len = carry
         ts = ts.replace(
             env_state=env_state, last_obs=last_obs, key=key,
             ep_return=ep_ret, ep_length=ep_len,
             mean_return=self._pmean(m_ret), mean_length=self._pmean(m_len),
         )
+        if self.central_value:
+            ts = ts.replace(last_states=last_states)
         return ts, batch
 
     def _gae(self, ts: TrainState, batch):
         cfg = self.cfg
-        n_last = self._norm_obs(ts.obs_stats, ts.last_obs)
-        _, _, v_last_n = self.network.apply(ts.params, n_last)
+        if self.central_value:
+            n_last_s = (
+                ts.states_stats.normalize(ts.last_states)
+                if cfg.normalize_input else ts.last_states
+            )
+            v_last_n = self.cv_network.apply(ts.cv_params, n_last_s)
+        else:
+            n_last = self._norm_obs(ts.obs_stats, ts.last_obs)
+            _, _, v_last_n = self.network.apply(ts.params, n_last)
         v_last = ts.value_stats.denormalize(v_last_n) if cfg.normalize_value else v_last_n
 
         def scan_fn(carry, x):
@@ -278,6 +332,9 @@ class PPO:
             if cfg.normalize_value
             else ts.value_stats
         )
+        states_stats = ts.states_stats
+        if self.central_value and cfg.normalize_input:
+            states_stats = states_stats.update(flat["states"], self.axis_name)
         if cfg.normalize_advantage:
             a = flat["adv"]
             mean = self._pmean(a.mean())
@@ -290,6 +347,16 @@ class PPO:
             flat["ret_n"] = flat["ret"]
             flat["value_n"] = flat["value"]
 
+        def value_loss(value_n, mb):
+            if cfg.clip_value:
+                v_clipped = mb["value_n"] + jnp.clip(
+                    value_n - mb["value_n"], -cfg.e_clip, cfg.e_clip
+                )
+                return jnp.maximum(
+                    (value_n - mb["ret_n"]) ** 2, (v_clipped - mb["ret_n"]) ** 2
+                ).mean()
+            return ((value_n - mb["ret_n"]) ** 2).mean()
+
         def loss_fn(params, mb):
             n_obs = obs_stats.normalize(mb["obs"]) if cfg.normalize_input else mb["obs"]
             mu, log_std, value_n = self.network.apply(params, n_obs)
@@ -299,15 +366,11 @@ class PPO:
             surr2 = mb["adv"] * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
             a_loss = -jnp.minimum(surr1, surr2).mean()
 
-            if cfg.clip_value:
-                v_clipped = mb["value_n"] + jnp.clip(
-                    value_n - mb["value_n"], -cfg.e_clip, cfg.e_clip
-                )
-                v_loss = jnp.maximum(
-                    (value_n - mb["ret_n"]) ** 2, (v_clipped - mb["ret_n"]) ** 2
-                ).mean()
-            else:
-                v_loss = ((value_n - mb["ret_n"]) ** 2).mean()
+            # with a central value net the actor's value head is unused
+            # (ref: rl_games a2c_common has_central_value path)
+            v_loss = (
+                jnp.zeros(()) if self.central_value else value_loss(value_n, mb)
+            )
 
             entropy = networks.gaussian_entropy(log_std).mean()
             # rl_games bound loss (common_agent.py:420-428): penalize |mu|>1.1
@@ -365,6 +428,43 @@ class PPO:
             obs_stats=obs_stats, value_stats=value_stats,
             epoch=ts.epoch + 1,
         )
+
+        if self.central_value:
+            # separate privileged-state critic update with its own optimizer
+            # and mini-epoch count (rl_games CentralValueTrain.train_net)
+            def cv_loss_fn(cv_params, mb):
+                n_s = (
+                    states_stats.normalize(mb["states"])
+                    if cfg.normalize_input else mb["states"]
+                )
+                value_n = self.cv_network.apply(cv_params, n_s)
+                return value_loss(value_n, mb)
+
+            def cv_minibatch_step(carry, mb_idx):
+                cv_params, cv_opt = carry
+                mb = jax.tree.map(lambda v: v[mb_idx], flat)
+                vl, grads = jax.value_and_grad(cv_loss_fn)(cv_params, mb)
+                grads = self._pmean(grads)
+                updates, cv_opt = self.cv_tx.update(grads, cv_opt, cv_params)
+                cv_params = optax.apply_updates(cv_params, updates)
+                return (cv_params, cv_opt), vl
+
+            def cv_epoch_step(carry, k_perm):
+                perm = jax.random.permutation(k_perm, B).reshape(
+                    self.num_minibatches, mb_size
+                )
+                return jax.lax.scan(cv_minibatch_step, carry, perm)
+
+            key, k_cv = jax.random.split(ts.key)
+            (cv_params, cv_opt), cv_losses = jax.lax.scan(
+                cv_epoch_step, (ts.cv_params, ts.cv_opt_state),
+                jax.random.split(k_cv, self.cv_mini_epochs),
+            )
+            v_loss = cv_losses
+            ts = ts.replace(
+                cv_params=cv_params, cv_opt_state=cv_opt,
+                states_stats=states_stats, key=key,
+            )
         info = dict(
             loss=loss.mean(), kl=kl.mean(), a_loss=a_loss.mean(),
             v_loss=v_loss.mean(), entropy=entropy.mean(), lr=lr,
