@@ -72,8 +72,14 @@ class Ant(TaskEnv):
             m.dof_lower > 0, m.dof_lower, jnp.where(m.dof_upper < 0, m.dof_upper, zero)
         )
         self.feet_indices = [
-            i for i, n in enumerate(m.body_names) if self.foot_fragment in n
+            i for i, n in enumerate(m.body_names)
+            if self.foot_fragment in n and "__ph" not in n
         ]
+        # true 6D force sensors on the feet (ref: ant.py:174-178
+        # create_asset_force_sensor) — joint reaction wrenches, not the
+        # contact-only approximation
+        if not self.model.sensor_body:
+            self.model = self.model.replace(sensor_body=tuple(self.feet_indices))
         self.targets = jnp.array([1000.0, 0.0, 0.0])
         self.start_rotation = jnp.array([0.0, 0.0, 0.0, 1.0])
 
@@ -163,7 +169,13 @@ class Ant(TaskEnv):
 
     # ------------------------------------------------------------------
     def _sensor_forces(self, state):
-        """(N, n_feet*6) foot force-torque sensor readings, foot-local frame."""
+        """(N, n_feet*6) foot force-torque sensor readings, foot-local frame
+        (joint reaction wrenches — the acquire_force_sensor_tensor
+        equivalent; falls back to the contact-wrench approximation for
+        states predating the sensor plumbing)."""
+        if state.sim.joint_wrench is not None:
+            n = state.sim.joint_wrench.shape[0]
+            return state.sim.joint_wrench.reshape(n, -1)
         out = []
         for b in self.feet_indices:
             q = state.sim.body_quat[:, b]

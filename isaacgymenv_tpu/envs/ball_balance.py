@@ -182,6 +182,9 @@ class BallBalance(TaskEnv):
             jnp.float32,
         )
         self.tray_body = self.model.body_index("tray")
+        # tray force sensor: joint reaction wrench (ref: ball_balance.py:271)
+        if not self.model.sensor_body:
+            self.model = self.model.replace(sensor_body=(self.tray_body,))
         self.ball_actor = 1
 
     def _initial_ts(self, key):
@@ -241,9 +244,17 @@ class BallBalance(TaskEnv):
         )
 
     def _sensor_obs(self, state):
-        """Approximate tray force sensors from the tray's net contact
-        force/torque (documented deviation; ref: ball_balance.py:268-273)."""
-        cf = state.sim.contact_force[:, self.tray_body] / 3.0  # per sensor
+        """Tray force sensors from the tray's joint reaction wrench split
+        across the 3 mounting points (ref: ball_balance.py:268-273; the
+        reference reads 3 PhysX force sensors on the tray)."""
+        if state.sim.joint_wrench is not None:
+            # body-frame force -> world for the lever arithmetic below
+            fq = state.sim.body_quat[:, self.tray_body]
+            from isaacgymenv_tpu.ops import maths as _m
+
+            cf = _m.quat_rotate(fq, state.sim.joint_wrench[:, 0, 0:3]) / 3.0
+        else:
+            cf = state.sim.contact_force[:, self.tray_body] / 3.0  # per sensor
         quat = state.sim.body_quat[:, self.tray_body]
         from isaacgymenv_tpu.ops import maths
 

@@ -97,6 +97,7 @@ class ModelBuilder:
         self.bodies: List[_Body] = []
         self.actor_roots: List[int] = []
         self.geom_body: List[int] = []
+        self.sensor_body: List[int] = []
         self.geom_offset: List[np.ndarray] = []
         self.geom_radius: List[float] = []
         self.geom_friction: List[float] = []
@@ -144,6 +145,13 @@ class ModelBuilder:
         if parent < 0:
             self.actor_roots.append(idx)
         return idx
+
+    def add_force_sensor(self, body: int) -> int:
+        """Declare a force sensor on `body`: its inbound-joint reaction
+        wrench appears in SimState.joint_wrench (the create_asset_force_sensor
+        equivalent, ref: tasks/ant.py:174-178 foot sensors)."""
+        self.sensor_body.append(body)
+        return len(self.sensor_body) - 1
 
     def add_geom_sphere(self, body: int, offset, radius: float, friction: float = 1.0):
         self.geom_body.append(body)
@@ -203,6 +211,7 @@ class ModelBuilder:
             self.bodies.append(b2)
         self.actor_roots += [r + off for r in other.actor_roots]
         self.geom_body += [g + off for g in other.geom_body]
+        self.sensor_body += [s + off for s in other.sensor_body]
         self.geom_offset += list(other.geom_offset)
         self.geom_radius += list(other.geom_radius)
         self.geom_friction += list(other.geom_friction)
@@ -249,6 +258,7 @@ class ModelBuilder:
         ng = len(self.geom_body)
         model = SimModel(
             joint_pitch=tuple(float(b.pitch) for b in self.bodies),
+            sensor_body=tuple(self.sensor_body),
             nb=nb,
             nq=nq,
             nv=nv,

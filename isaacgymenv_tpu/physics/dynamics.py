@@ -355,6 +355,7 @@ def aba_lp(
     tau: jnp.ndarray,
     f_ext_world: jnp.ndarray | None = None,
     d_extra: jnp.ndarray | None = None,
+    return_joint_forces: bool = False,
 ) -> jnp.ndarray:
     """Level-parallel ABA — identical math to `aba`, scheduled by tree DEPTH.
 
@@ -363,6 +364,11 @@ def aba_lp(
     become one 4x-wide kernel instead of 4 small ones — the TPU core runs
     kernels serially, so width is the only parallelism).  Verified equal to
     `aba` in tests/test_dynamics.py.
+
+    return_joint_forces: additionally return (..., nb, 6) body-frame [n, f]
+    spatial force transmitted through each body's inbound joint
+    (f_i = IA_i a_i + pA_i — the force-sensor reading; nearly free since
+    IA/pA/a are already in hand).
     """
     batch = tau.shape[:-1]
     dtype = tau.dtype
@@ -478,6 +484,9 @@ def aba_lp(
             qdd = qdd.at[..., vas].set(jnp.moveaxis(qdd_i, 0, -1))
             a_p = a_p.at[one_mask].set(a_p1 + S * qdd_i[..., None])
         a = a.at[idx].set(a_p)
+    if return_joint_forces:
+        fj = jnp.einsum("n...ab,n...b->n...a", IA, a) + pA
+        return qdd, jnp.moveaxis(fj, 0, -2)
     return qdd
 
 

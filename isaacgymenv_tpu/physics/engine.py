@@ -218,7 +218,19 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     # schedule: +19% step throughput on Anymal vs serial ABA (one stacked
     # kernel per tree depth instead of one per body; scripts/bench_aba_lp.py) ---
     d_imp = _implicit_drive_terms(model, dt, dof_pos) if model.nd > 0 else None
-    qdd = dynamics.aba_lp(model, kin, tau, f_ext, d_extra=d_imp)
+    if model.sensor_body:
+        qdd, fj = dynamics.aba_lp(
+            model, kin, tau, f_ext, d_extra=d_imp, return_joint_forces=True
+        )
+        sb = list(model.sensor_body)
+        # sensor layout: [force3, torque3] in the body frame (ref:
+        # acquire_force_sensor_tensor; fj rows are [n, f])
+        joint_wrench = jnp.concatenate(
+            [fj[..., sb, 3:], fj[..., sb, :3]], axis=-1
+        )
+    else:
+        qdd = dynamics.aba_lp(model, kin, tau, f_ext, d_extra=d_imp)
+        joint_wrench = None
 
     # --- integrate ---
     qd_new = state.qd + qdd * dt
@@ -238,6 +250,7 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         contact_force=body_cf,
         contact_torque=f_ext[..., :3] - (ctrl.body_wrench[..., :3] if ctrl.body_wrench is not None else 0.0),
         dof_force=tau_applied + tau_passive,
+        joint_wrench=joint_wrench,
     )
 
 
@@ -259,6 +272,13 @@ def step(
     matching the reference where refresh happens next step.
     """
     h = dt / substeps
+    if model.sensor_body and state.joint_wrench is None:
+        # normalize the carry pytree for states predating sensor declaration
+        state = state.replace(
+            joint_wrench=jnp.zeros(
+                state.q.shape[:-1] + (len(model.sensor_body), 6), state.q.dtype
+            )
+        )
     if _use_fused(model, terrain, ctrl, state):
         # single fused Pallas kernel for the whole substep loop: every
         # FK/ABA/contact intermediate stays in VMEM (physics/fused.py)
@@ -271,13 +291,13 @@ def step(
         )
         nd = model.nd
         bc = lambda x: jnp.broadcast_to(x, (n, nd))
-        q_new, qd_new, dof_force, cf, ct = run(
+        q_new, qd_new, dof_force, cf, ct, jw = run(
             state.q, state.qd, bc(ctrl.pos_target), bc(ctrl.vel_target),
             bc(ctrl.effort),
         )
         state = state.replace(
             q=q_new, qd=qd_new, dof_force=dof_force,
-            contact_force=cf, contact_torque=ct,
+            contact_force=cf, contact_torque=ct, joint_wrench=jw,
         )
         return forward(model, terrain, state)
     if substeps == 1:

@@ -72,15 +72,21 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
         return False
     if any(jt not in (JT_FREE, JT_REVOLUTE, JT_PRISMATIC, JT_FIXED) for jt in model.jtype):
         return False
-    # static (un-batched) model leaves only — per-env DR params fall back
-    if np.asarray(model.body_mass).ndim != 1:
+    # static (un-batched) model leaves only — per-env DR params fall back.
+    # ndim is static metadata, safe on tracers (DR-batched leaves under jit)
+    if jnp.ndim(model.body_mass) != 1:
         return False
-    if model.nd and np.asarray(model.dof_stiffness).ndim != 1:
+    if model.nd and jnp.ndim(model.dof_stiffness) != 1:
         return False
-    if np.asarray(model.geom_friction).ndim != 1:
+    if jnp.ndim(model.geom_friction) != 1:
         return False
-    if np.asarray(model.gravity).ndim != 1:
+    if jnp.ndim(model.gravity) != 1:
         return False
+    # tracer leaves (even 1-D) cannot be baked into the kernel as constants
+    for leaf in (model.body_mass, model.dof_stiffness, model.geom_friction,
+                 model.gravity, model.contact_stiffness):
+        if isinstance(leaf, jax.core.Tracer):
+            return False
     if num_envs % LANES != 0:
         return False
     return True
@@ -350,9 +356,11 @@ def build_fused_substep(
     kn_c = float(np.asarray(model.contact_stiffness))
     kd_c = float(np.asarray(model.contact_damping))
     kt_c = float(np.asarray(model.tangential_stiffness))
+    sensors = list(model.sensor_body)
+    ns = len(sensors)
 
     def kernel(q_ref, qd_ref, tgt_ref, vtgt_ref, eff_ref,
-               qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref):
+               qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref, jw_ref=None):
         q = [q_ref[i] for i in range(nq)]
         qd = [qd_ref[i] for i in range(nv)]
         tgt = [tgt_ref[i] for i in range(nd)]
@@ -565,6 +573,16 @@ def build_fused_substep(
                     qdd[va] = qdd_i
                     a_b[i] = tuple(a_p[k] + S_ax[i][k] * qdd_i for k in range(6))
 
+            # force-sensor wrenches: f_i = IA_i a_i + pA_i, packed [f, n]
+            # (ref: acquire_force_sensor_tensor layout)
+            jw = []
+            for b in sensors:
+                fj = tuple(
+                    sum(IA[b][r][k] * a_b[b][k] for k in range(6)) + pA[b][r]
+                    for r in range(6)
+                )
+                jw.append(fj[3:] + fj[:3])
+
             # ---------------- integrate (mirrors engine._integrate) ------
             qd_new = [qd[k] + qdd[k] * h for k in range(nv)]
             for d in range(nd):
@@ -602,13 +620,14 @@ def build_fused_substep(
             for d in range(nd):
                 b = d_body[d]
                 q_new[q_adr[b]] = q_new[q_adr[b]] + qd_new[v_adr[b]] * h
-            return q_new, qd_new, tau_d, cf_out, ct_out
+            return q_new, qd_new, tau_d, cf_out, ct_out, jw
 
         tau_last = [zero] * nd
         cf_last = [(zero,) * 3] * nb
         ct_last = [(zero,) * 3] * nb
+        jw_last = [(zero,) * 6] * ns
         for _ in range(substeps):
-            q, qd, tau_last, cf_last, ct_last = substep(q, qd)
+            q, qd, tau_last, cf_last, ct_last, jw_last = substep(q, qd)
         for i in range(nq):
             qo_ref[i] = q[i]
         for i in range(nv):
@@ -619,6 +638,9 @@ def build_fused_substep(
             for k in range(3):
                 cf_ref[b * 3 + k] = cf_last[b][k] + zero
                 ct_ref[b * 3 + k] = ct_last[b][k] + zero
+        for s_i in range(ns):
+            for k in range(6):
+                jw_ref[s_i * 6 + k] = jw_last[s_i][k] + zero
 
     def to_soa(x, d):
         return jnp.moveaxis(x, -1, 0).reshape(d, num_envs // LANES, LANES)
@@ -636,14 +658,20 @@ def build_fused_substep(
         (d, num_envs // LANES, LANES), jnp.float32
     )
 
+    out_specs = [spec(nq), spec(nv), spec(nd), spec(nb * 3), spec(nb * 3)]
+    out_shapes = [shape(nq), shape(nv), shape(nd), shape(nb * 3), shape(nb * 3)]
+    if ns:
+        out_specs.append(spec(ns * 6))
+        out_shapes.append(shape(ns * 6))
+
     def run(q, qd, pos_target, vel_target, effort):
         f32 = jnp.float32
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[spec(nq), spec(nv), spec(nd), spec(nd), spec(nd)],
-            out_specs=[spec(nq), spec(nv), spec(nd), spec(nb * 3), spec(nb * 3)],
-            out_shape=[shape(nq), shape(nv), shape(nd), shape(nb * 3), shape(nb * 3)],
+            out_specs=out_specs,
+            out_shape=out_shapes,
             interpret=interpret,
         )(
             to_soa(q.astype(f32), nq),
@@ -657,6 +685,7 @@ def build_fused_substep(
         dof_force = from_soa(outs[2])
         cf = from_soa(outs[3]).reshape(num_envs, nb, 3)
         ct = from_soa(outs[4]).reshape(num_envs, nb, 3)
-        return q_new, qd_new, dof_force, cf, ct
+        jw = from_soa(outs[5]).reshape(num_envs, ns, 6) if ns else None
+        return q_new, qd_new, dof_force, cf, ct, jw
 
     return run

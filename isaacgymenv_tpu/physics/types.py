@@ -156,6 +156,12 @@ class SimModel:
     # --- per-body screw-joint thread pitch [m/rev]; 0 for non-screw joints ---
     joint_pitch: Tuple[float, ...] = struct.field(pytree_node=False, default=())
 
+    # --- force sensors: bodies whose inbound-joint reaction wrench is
+    # reported in SimState.joint_wrench (the acquire_force_sensor_tensor
+    # equivalent, ref: tasks/ant.py:80-83 foot sensors,
+    # tasks/ball_balance.py:271 tray sensor) ---
+    sensor_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+
     @property
     def ng(self) -> int:
         return len(self.geom_body)
@@ -202,6 +208,11 @@ class SimState:
     contact_force: jnp.ndarray  # (N, nb, 3)
     contact_torque: jnp.ndarray  # (N, nb, 3) moment about body origin, world frame
     dof_force: jnp.ndarray    # (N, nd) total applied joint force (ref: acquire_dof_force_tensor)
+    # (N, ns, 6) [force, torque] transmitted through each sensor body's
+    # inbound joint, body frame — force-sensor readings
+    # (ref: acquire_force_sensor_tensor layout: force3 then torque3).
+    # None when the model declares no sensors (model.sensor_body empty).
+    joint_wrench: Optional[jnp.ndarray] = None
 
     @property
     def N(self) -> int:
@@ -225,6 +236,10 @@ def make_zero_state(model: SimModel, n_envs: int, dtype=jnp.float32) -> SimState
         contact_force=jnp.zeros((n_envs, model.nb, 3), dtype),
         contact_torque=jnp.zeros((n_envs, model.nb, 3), dtype),
         dof_force=jnp.zeros((n_envs, model.nd), dtype),
+        joint_wrench=(
+            jnp.zeros((n_envs, len(model.sensor_body), 6), dtype)
+            if model.sensor_body else None
+        ),
     )
 
 

@@ -434,3 +434,30 @@ def test_screw_joint_fk_and_dynamics():
         dynamics.forward_dynamics(model, kin, tau),
     ):
         np.testing.assert_allclose(float(qdd[0, 0]), expect, rtol=1e-4)
+
+
+def test_joint_wrench_static_weight():
+    """A static hanging link's inbound-joint wrench must equal its weight
+    (the force-sensor reading; ref: acquire_force_sensor_tensor)."""
+    from isaacgymenv_tpu.physics.builder import ModelBuilder
+    from isaacgymenv_tpu.physics import dynamics, kinematics
+
+    mb = ModelBuilder()
+    base = mb.add_body("base", -1, JT_FIXED, joint_pos=(0, 0, 1.0),
+                       mass=1.0, inertia=np.diag([0.01] * 3))
+    arm = mb.add_body("arm", base, JT_REVOLUTE, joint_pos=(0, 0, 0),
+                      joint_axis=(0, 1, 0), mass=2.0, com=(0, 0, -0.5),
+                      inertia=np.diag([0.1, 0.1, 0.01]))
+    model = mb.finalize()
+
+    q = jnp.zeros((4, model.nq))
+    qd = jnp.zeros((4, model.nv))
+    tau = jnp.zeros((4, model.nv))
+    kin = kinematics.fk(model, q, qd)
+    qdd, fj = dynamics.aba_lp(model, kin, tau, return_joint_forces=True)
+    np.testing.assert_allclose(np.asarray(qdd), 0.0, atol=1e-5)
+    # fj rows are [n(3), f(3)] body frame: pure vertical support force m*g
+    np.testing.assert_allclose(
+        np.asarray(fj[:, arm]), np.tile([0, 0, 0, 0, 0, 2.0 * 9.81], (4, 1)),
+        atol=1e-4,
+    )

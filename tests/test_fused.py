@@ -58,6 +58,8 @@ def _quad_model():
         effort=15.0, armature=0.002, friction=0.02, maxvel=5.0,
     )
     mb.add_geom_sphere(slider, (0.05, 0.0, 0.0), 0.02, friction=0.8)
+    mb.add_force_sensor(1)  # hip_l: exercises the joint-wrench sensor path
+    mb.add_force_sensor(2)  # foot_l (fixed joint)
     mb.gravity = np.array([0.0, 0.0, -9.81])
     return attach_effective_masses(mb.finalize())
 
@@ -119,6 +121,11 @@ def test_fused_matches_engine(substeps, monkeypatch):
     )
     np.testing.assert_allclose(
         np.asarray(out.body_pos), np.asarray(ref.body_pos), rtol=2e-4, atol=2e-4
+    )
+    assert out.joint_wrench is not None and ref.joint_wrench is not None
+    np.testing.assert_allclose(
+        np.asarray(out.joint_wrench), np.asarray(ref.joint_wrench),
+        rtol=2e-3, atol=5e-2,
     )
 
 
