@@ -77,6 +77,16 @@ class LSTMPPO(PPO):
             mean_length=jnp.asarray(0.0),
         )
         fields = {f.name: getattr(base, f.name) for f in dataclasses.fields(TrainState)}
+        if self.central_value:
+            key, k_cv = jax.random.split(key)
+            last_states = self.env.observations(env_state)["states"]
+            fields.update(
+                key=key,
+                last_states=last_states,
+                cv_params=self.cv_network.init(k_cv, last_states[:1]),
+                states_stats=RunningStats.create((self.env.num_states,)),
+            )
+            fields["cv_opt_state"] = self.cv_tx.init(fields["cv_params"])
         return LSTMTrainState(**fields, rnn_state=self.network.initial_carry(N))
 
     # ------------------------------------------------------------------
@@ -84,10 +94,15 @@ class LSTMPPO(PPO):
         cfg = self.cfg
 
         def step_fn(carry, _):
-            env_state, obs, rnn, key, ep_ret, ep_len, m_ret, m_len = carry
+            env_state, obs, states, rnn, key, ep_ret, ep_len, m_ret, m_len = carry
             key, k_act = jax.random.split(key)
             n_obs = self._norm_obs(ts.obs_stats, obs)
             mu, log_std, value_n, rnn_next = self.network.apply(ts.params, n_obs, rnn)
+            if self.central_value:
+                n_states = (
+                    ts.states_stats.normalize(states) if cfg.normalize_input else states
+                )
+                value_n = self.cv_network.apply(ts.cv_params, n_states)
             action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
             logp = networks.gaussian_logp(mu, log_std, action)
             value = ts.value_stats.denormalize(value_n) if cfg.normalize_value else value_n
@@ -111,26 +126,40 @@ class LSTMPPO(PPO):
                 done=done, mu=mu, log_std=log_std,
                 rnn_h=rnn[0], rnn_c=rnn[1],
             )
+            if self.central_value:
+                out["states"] = states
             # zero hidden state for envs that were reset (rl_games semantics)
             nd = (1.0 - d)[:, None]
             rnn_next = (rnn_next[0] * nd, rnn_next[1] * nd)
-            return (env_state, obs_dict["obs"], rnn_next, key, ep_ret, ep_len, m_ret, m_len), out
+            next_states = obs_dict["states"] if self.central_value else states
+            return (env_state, obs_dict["obs"], next_states, rnn_next, key,
+                    ep_ret, ep_len, m_ret, m_len), out
 
-        carry0 = (ts.env_state, ts.last_obs, ts.rnn_state, ts.key,
+        states0 = ts.last_states if self.central_value else jnp.zeros(())
+        carry0 = (ts.env_state, ts.last_obs, states0, ts.rnn_state, ts.key,
                   ts.ep_return, ts.ep_length, ts.mean_return, ts.mean_length)
         carry, batch = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon_length)
-        env_state, last_obs, rnn, key, ep_ret, ep_len, m_ret, m_len = carry
+        env_state, last_obs, last_states, rnn, key, ep_ret, ep_len, m_ret, m_len = carry
         ts = ts.replace(
             env_state=env_state, last_obs=last_obs, rnn_state=rnn, key=key,
             ep_return=ep_ret, ep_length=ep_len,
             mean_return=self._pmean(m_ret), mean_length=self._pmean(m_len),
         )
+        if self.central_value:
+            ts = ts.replace(last_states=last_states)
         return ts, batch
 
     def _gae(self, ts: LSTMTrainState, batch):
         cfg = self.cfg
-        n_last = self._norm_obs(ts.obs_stats, ts.last_obs)
-        _, _, v_last_n, _ = self.network.apply(ts.params, n_last, ts.rnn_state)
+        if self.central_value:
+            n_last_s = (
+                ts.states_stats.normalize(ts.last_states)
+                if cfg.normalize_input else ts.last_states
+            )
+            v_last_n = self.cv_network.apply(ts.cv_params, n_last_s)
+        else:
+            n_last = self._norm_obs(ts.obs_stats, ts.last_obs)
+            _, _, v_last_n, _ = self.network.apply(ts.params, n_last, ts.rnn_state)
         v_last = ts.value_stats.denormalize(v_last_n) if cfg.normalize_value else v_last_n
 
         def scan_fn(carry, x):
@@ -159,7 +188,10 @@ class LSTMPPO(PPO):
             v = v.reshape((C, S, N) + v.shape[2:])
             return jnp.moveaxis(v, 2, 0).reshape((B, S) + v.shape[3:])
 
-        flat = {k: to_seq(v) for k, v in batch.items() if k not in ("rnn_h", "rnn_c")}
+        flat = {
+            k: to_seq(v) for k, v in batch.items()
+            if k not in ("rnn_h", "rnn_c", "states")
+        }
         flat["adv"] = to_seq(advs)
         flat["ret"] = to_seq(returns)
         # initial hidden state of each chunk
@@ -208,7 +240,10 @@ class LSTMPPO(PPO):
             surr1 = mb["adv"] * ratio
             surr2 = mb["adv"] * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
             a_loss = -jnp.minimum(surr1, surr2).mean()
-            if cfg.clip_value:
+            if self.central_value:
+                # privileged-state critic is trained separately below
+                v_loss = jnp.zeros(())
+            elif cfg.clip_value:
                 v_clipped = mb["value_n"] + jnp.clip(
                     value_n - mb["value_n"], -cfg.e_clip, cfg.e_clip
                 )
@@ -263,6 +298,67 @@ class LSTMPPO(PPO):
             params=params, opt_state=opt_state, lr=lr, key=key,
             obs_stats=obs_stats, value_stats=value_stats, epoch=ts.epoch + 1,
         )
+
+        if self.central_value:
+            # privileged-state critic update on the flat (H*N) batch (same
+            # shape as the feedforward PPO central-value path)
+            states_f = batch["states"].reshape((H * N, -1))
+            ret_f = returns.reshape(H * N)
+            val_f = batch["value"].reshape(H * N)
+            states_stats = ts.states_stats
+            if cfg.normalize_input:
+                states_stats = states_stats.update(states_f, self.axis_name)
+            if cfg.normalize_value:
+                ret_fn = value_stats.normalize(ret_f, clip=jnp.inf)
+                val_fn = value_stats.normalize(val_f, clip=jnp.inf)
+            else:
+                ret_fn, val_fn = ret_f, val_f
+
+            def cv_loss_fn(cv_params, mb_s, mb_ret, mb_val):
+                n_s = (
+                    states_stats.normalize(mb_s) if cfg.normalize_input else mb_s
+                )
+                value_n = self.cv_network.apply(cv_params, n_s)
+                if cfg.clip_value:
+                    v_clipped = mb_val + jnp.clip(
+                        value_n - mb_val, -cfg.e_clip, cfg.e_clip
+                    )
+                    return jnp.maximum(
+                        (value_n - mb_ret) ** 2, (v_clipped - mb_ret) ** 2
+                    ).mean()
+                return ((value_n - mb_ret) ** 2).mean()
+
+            BF = H * N
+            n_cv_mb = max(BF // self.cfg.minibatch_size, 1)
+            cv_mb = BF // n_cv_mb
+
+            def cv_minibatch_step(carry, mb_idx):
+                cv_params, cv_opt = carry
+                vl, grads = jax.value_and_grad(cv_loss_fn)(
+                    cv_params, states_f[mb_idx], ret_fn[mb_idx], val_fn[mb_idx]
+                )
+                grads = self._pmean(grads)
+                updates, cv_opt = self.cv_tx.update(grads, cv_opt, cv_params)
+                cv_params = optax.apply_updates(cv_params, updates)
+                return (cv_params, cv_opt), vl
+
+            def cv_epoch_step(carry, k_perm):
+                perm = jax.random.permutation(k_perm, BF)[: n_cv_mb * cv_mb]
+                return jax.lax.scan(
+                    cv_minibatch_step, carry, perm.reshape(n_cv_mb, cv_mb)
+                )
+
+            key, k_cv = jax.random.split(ts.key)
+            (cv_params, cv_opt), cv_losses = jax.lax.scan(
+                cv_epoch_step, (ts.cv_params, ts.cv_opt_state),
+                jax.random.split(k_cv, self.cv_mini_epochs),
+            )
+            v_loss = cv_losses
+            ts = ts.replace(
+                cv_params=cv_params, cv_opt_state=cv_opt,
+                states_stats=states_stats, key=key,
+            )
+
         info = dict(
             loss=loss.mean(), kl=kl.mean(), a_loss=a_loss.mean(),
             v_loss=v_loss.mean(), entropy=entropy.mean(), lr=lr,

@@ -96,3 +96,51 @@ def test_initial_pbt_check():
 
     assert initial_pbt_check(["task=Ant", "++pbt_restart=True"])
     assert not initial_pbt_check(["task=Ant"])
+
+
+def test_param_grid_and_experiments():
+    """Launcher experiment generation (ref: pbt/launcher/run_description.py)."""
+    from isaacgymenv_tpu.pbt.run_description import (
+        Experiment, ParamGrid, ParamList, RunDescription,
+    )
+
+    grid = ParamGrid([("seed", [1, 2]), ("train.params.config.gamma", [0.99, 0.995])])
+    combos = list(grid.generate_params(randomize=False))
+    assert len(combos) == 4
+    assert combos[0] == {"seed": 1, "train.params.config.gamma": 0.99}
+
+    exp = Experiment("ant", "python -m isaacgymenv_tpu.train task=Ant", grid)
+    runs = list(exp.generate_experiments())
+    assert len(runs) == 4
+    assert "seed=1" in runs[0][0] and "experiment=" in runs[0][0]
+
+    rd = RunDescription("sweep", [exp])
+    all_runs = rd.generate_experiments()
+    assert len(all_runs) == 4
+    assert all_runs[0][1].startswith("sweep_ant")
+
+    lst = ParamList([{"seed": 7}])
+    assert list(lst.generate_params(randomize=True)) == [{"seed": 7}]
+
+
+def test_slurm_launcher_generates_scripts(tmp_path):
+    """Slurm backend writes sbatch scripts with requeue-on-timeout
+    (ref: pbt/launcher/run_slurm.py + slurm/sbatch_timeout.sh)."""
+    from isaacgymenv_tpu.pbt import launcher_slurm
+
+    args = launcher_slurm.parse_args([
+        "--workdir", str(tmp_path), "--partition", "tpu",
+        "--timeout", "4:00:00", "--num_policies", "2", "--print_only",
+        "--", "task=Ant", "pbt=pbt_default",
+    ])
+    scripts = launcher_slurm.build_scripts(args)
+    assert len(scripts) == 2
+    name, body = scripts[0]
+    assert "pbt.policy_idx=0" in body
+    assert "--partition=tpu" in body
+    assert "--time=4:00:00" in body
+    assert "scontrol requeue" in body
+    launcher_slurm.main([
+        "--workdir", str(tmp_path), "--print_only", "--", "task=Ant",
+    ])
+    assert (tmp_path / "train.sbatch").exists()

@@ -118,3 +118,39 @@ def test_ppo_central_value_learns_cartpole():
     assert last > first + 5.0, f"no learning signal: {first} -> {last}"
     assert last > 15.0, f"asym cartpole should reach return > 15, got {last}"
     assert np.isfinite(float(info["v_loss"]))
+
+
+def test_lstm_ppo_central_value_runs():
+    """LSTM policy + privileged-state central value critic (rl_games
+    ShadowHandPPOAsymmLSTM shape) trains without NaNs."""
+    import jax.numpy as jnp
+
+    cfg, tcfg = small_cfgs(32)
+    tcfg["params"]["network"]["rnn"] = {"name": "lstm", "units": 32, "layers": 1}
+    tcfg["params"]["config"]["seq_len"] = 4
+    tcfg["params"]["config"]["horizon_length"] = 16
+    tcfg["params"]["config"]["minibatch_size"] = 32 * 16
+    tcfg["params"]["config"]["central_value_config"] = {
+        "mini_epochs": 2,
+        "learning_rate": 5e-4,
+        "network": {"mlp": {"units": [32], "activation": "elu"}},
+    }
+
+    from isaacgymenv_tpu.learning.ppo_lstm import LSTMPPO
+
+    base_cls = registry.get_task("Cartpole")
+
+    class CartpoleAsym(base_cls):
+        num_states = 8
+
+        def _states(self, state, obs):
+            return jnp.concatenate([obs, obs**2], axis=-1)
+
+    env = CartpoleAsym(cfg)
+    agent = LSTMPPO(env, tcfg)
+    assert agent.central_value
+    ts = agent.init(0)
+    for _ in range(3):
+        ts, info = agent.train_epoch(ts)
+    assert np.isfinite(float(info["loss"]))
+    assert np.isfinite(float(info["v_loss"]))
