@@ -285,15 +285,37 @@ def step(
         from isaacgymenv_tpu.physics import fused as fused_mod
 
         n = state.q.shape[0]
+        terrain_mode = terrain is not None
+        wrench_mode = ctrl.body_wrench is not None
+        fric_mode = jnp.ndim(model.geom_friction) == 2
         run = fused_mod.build_fused_substep(
             model, h, substeps, n,
             interpret=jax.default_backend() not in ("tpu",),
+            terrain_mode=terrain_mode, wrench_mode=wrench_mode,
+            fric_mode=fric_mode,
         )
         nd = model.nd
         bc = lambda x: jnp.broadcast_to(x, (n, nd))
+        extras = {}
+        if terrain_mode:
+            # per-geom ground height/normal sampled once per control step
+            # at the current geom positions (see build_fused_substep doc)
+            gb = list(model.geom_body)
+            off = jnp.broadcast_to(model.geom_offset, (n, model.ng, 3))
+            off_w = maths.quat_rotate(state.body_quat[:, gb], off)
+            gpos = state.body_pos[:, gb] + off_w
+            gx, gy = gpos[..., 0], gpos[..., 1]
+            extras["ground_h"] = contact_mod.height_at(terrain, gx, gy)
+            extras["ground_n"] = contact_mod.terrain_normal(terrain, gx, gy)
+        if wrench_mode:
+            extras["body_wrench"] = jnp.broadcast_to(
+                ctrl.body_wrench, (n, model.nb, 6)
+            )
+        if fric_mode:
+            extras["geom_fric"] = model.geom_friction
         q_new, qd_new, dof_force, cf, ct, jw = run(
             state.q, state.qd, bc(ctrl.pos_target), bc(ctrl.vel_target),
-            bc(ctrl.effort),
+            bc(ctrl.effort), **extras,
         )
         state = state.replace(
             q=q_new, qd=qd_new, dof_force=dof_force,

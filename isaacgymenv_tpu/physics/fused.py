@@ -61,14 +61,16 @@ LANES = 128
 
 
 def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
-    """True when the fused kernel reproduces engine._substep for this scene."""
-    if terrain is not None:
-        return False
+    """True when the fused kernel reproduces engine._substep for this scene.
+
+    Heightfield terrain, per-body external wrenches, and per-env friction
+    are supported as kernel INPUTS (see build_fused_substep modes); pair
+    contacts, anchors, tendons, gravcomp, screw joints, and other
+    DR-batched model params fall back to the XLA path.
+    """
     if model.n_pairs or model.anchor_body or model.tendon_dof:
         return False
     if model.body_gravcomp is not None:
-        return False
-    if body_wrench is not None:
         return False
     if any(jt not in (JT_FREE, JT_REVOLUTE, JT_PRISMATIC, JT_FIXED) for jt in model.jtype):
         return False
@@ -78,15 +80,20 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
         return False
     if model.nd and jnp.ndim(model.dof_stiffness) != 1:
         return False
-    if jnp.ndim(model.geom_friction) != 1:
+    if jnp.ndim(model.geom_friction) not in (1, 2):  # 2 = per-env input mode
         return False
     if jnp.ndim(model.gravity) != 1:
         return False
     # tracer leaves (even 1-D) cannot be baked into the kernel as constants
-    for leaf in (model.body_mass, model.dof_stiffness, model.geom_friction,
-                 model.gravity, model.contact_stiffness):
+    # (geom_friction excluded: it is a runtime input in fric_mode)
+    for leaf in (model.body_mass, model.dof_stiffness, model.gravity,
+                 model.contact_stiffness):
         if isinstance(leaf, jax.core.Tracer):
             return False
+    if jnp.ndim(model.geom_friction) == 1 and isinstance(
+        model.geom_friction, jax.core.Tracer
+    ):
+        return False
     if num_envs % LANES != 0:
         return False
     return True
@@ -301,11 +308,25 @@ def _chol_solve6(A, b):
 
 
 def build_fused_substep(
-    model: SimModel, dt: float, substeps: int, num_envs: int, interpret: bool = False
+    model: SimModel, dt: float, substeps: int, num_envs: int,
+    interpret: bool = False, terrain_mode: bool = False,
+    wrench_mode: bool = False, fric_mode: bool = False,
 ):
-    """Return fn(q, qd, pos_target, vel_target, effort) ->
-    (q_new, qd_new, dof_force, contact_force, contact_torque)
-    with shapes (N,nq) (N,nv) (N,nd) (N,nb,3) (N,nb,3)."""
+    """Return fn(q, qd, pos_target, vel_target, effort, *extras) ->
+    (q_new, qd_new, dof_force, contact_force, contact_torque, joint_wrench).
+
+    Optional input modes (extras appended in this order):
+    - terrain_mode: per-geom ground height (N, ng) + normal (N, ng, 3),
+      sampled by the caller ONCE per engine.step at current geom positions
+      and held across the inner substeps.  Documented deviation vs the XLA
+      path's per-substep lookup: geoms move <~ v*dt (mm-cm) within one
+      control step, below the heightfield cell size the reference collides
+      against (ref: anymal_terrain.py trimesh from 10 cm heightfield cells).
+    - wrench_mode: per-body external wrench (N, nb, 6) world [n, f]
+      (apply_rigid_body_force_tensors equivalent: pushes, rotor thrust).
+    - fric_mode: per-env geom friction (N, ng) (AnymalTerrain's per-env
+      friction buckets, ref: :235-239).
+    """
     nb, nq, nv, nd, ng = model.nb, model.nq, model.nv, model.nd, model.ng
     S = _block_s(num_envs)
     grid = num_envs // (S * LANES)
@@ -347,7 +368,7 @@ def build_fused_substep(
     geom_body = model.geom_body
     geom_off = np.asarray(model.geom_offset, np.float64)
     geom_r = np.asarray(model.geom_radius, np.float64)
-    geom_mu = np.asarray(model.geom_friction, np.float64)
+    geom_mu = None if fric_mode else np.asarray(model.geom_friction, np.float64)
     geom_meff = np.asarray(model.geom_meff, np.float64)
     geom_meff_el = (
         np.asarray(model.geom_meff_el, np.float64)
@@ -359,8 +380,15 @@ def build_fused_substep(
     sensors = list(model.sensor_body)
     ns = len(sensors)
 
-    def kernel(q_ref, qd_ref, tgt_ref, vtgt_ref, eff_ref,
-               qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref, jw_ref=None):
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref, qd_ref, tgt_ref, vtgt_ref, eff_ref = (next(it) for _ in range(5))
+        gh_ref = next(it) if terrain_mode else None
+        gn_ref = next(it) if terrain_mode else None
+        bw_ref = next(it) if wrench_mode else None
+        fr_ref = next(it) if fric_mode else None
+        qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref = (next(it) for _ in range(5))
+        jw_ref = next(it) if ns else None
         q = [q_ref[i] for i in range(nq)]
         qd = [qd_ref[i] for i in range(nv)]
         tgt = [tgt_ref[i] for i in range(nd)]
@@ -407,7 +435,8 @@ def build_fused_substep(
                     p_w[i] = _vadd(p_w[par], _mvec(R_w[par], p))
                     v[i] = _vadd(_mot_to_child(R, p, v[par]), vj)
 
-            # ---------------- contacts (flat ground z=0) ----------------
+            # ------ contacts (ground plane; terrain_mode: per-geom local
+            # plane from the caller-sampled height + normal) ------
             f_ext = [(zero,) * 6 for _ in range(nb)]
             cf_out = [(zero,) * 3 for _ in range(nb)]
             ct_out = [(zero,) * 3 for _ in range(nb)]
@@ -418,24 +447,37 @@ def build_fused_substep(
                 ang_w = _mvec(R_w[b], v[b][:3])
                 lin_w = _mvec(R_w[b], v[b][3:])
                 vel = _vadd(lin_w, _cross(ang_w, off_w))
-                depth = float(geom_r[g]) - pos_z
+                if terrain_mode:
+                    hgt = gh_ref[g]
+                    n_g = (gn_ref[3 * g], gn_ref[3 * g + 1], gn_ref[3 * g + 2])
+                else:
+                    hgt = 0.0
+                    n_g = (0.0, 0.0, 1.0)
+                depth = hgt + float(geom_r[g]) - pos_z
                 active = depth > 0.0
                 arrest = 0.25 * float(geom_meff[g]) / h
                 kn_eff = min(kn_c, float(geom_meff_el[g]) / (h * h))
                 d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
-                approach = jnp.maximum(-vel[2], 0.0)
+                v_n = vel[0] * n_g[0] + vel[1] * n_g[1] + vel[2] * n_g[2]
+                v_t = tuple(vel[k] - v_n * n_g[k] for k in range(3))
+                approach = jnp.maximum(-v_n, 0.0)
                 f_damp = jnp.minimum(kd_c * d_pos, arrest) * approach
                 fn = jnp.where(active, kn_eff * d_pos + f_damp, 0.0)
-                vt_norm = jnp.sqrt(vel[0] * vel[0] + vel[1] * vel[1])
-                ft_mag = jnp.minimum(
-                    min(arrest, kt_c) * vt_norm, float(geom_mu[g]) * fn
+                vt_norm = jnp.sqrt(
+                    v_t[0] * v_t[0] + v_t[1] * v_t[1] + v_t[2] * v_t[2]
                 )
+                mu = fr_ref[g] if fric_mode else float(geom_mu[g])
+                ft_mag = jnp.minimum(min(arrest, kt_c) * vt_norm, mu * fn)
                 scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
-                f_w = (-vel[0] * scale, -vel[1] * scale, fn)
+                f_w = tuple(fn * n_g[k] - v_t[k] * scale for k in range(3))
                 torque = _cross(off_w, f_w)
                 f_ext[b] = _vadd(f_ext[b], torque + f_w)
                 cf_out[b] = _vadd(cf_out[b], f_w)
                 ct_out[b] = _vadd(ct_out[b], torque)
+            if wrench_mode:
+                for b in range(nb):
+                    w6 = tuple(bw_ref[b * 6 + k] for k in range(6))
+                    f_ext[b] = _vadd(f_ext[b], w6)
 
             # ---------------- joint forces + implicit diagonal ----------
             tau_d = [None] * nd
@@ -663,23 +705,39 @@ def build_fused_substep(
     if ns:
         out_specs.append(spec(ns * 6))
         out_shapes.append(shape(ns * 6))
+    in_specs = [spec(nq), spec(nv), spec(nd), spec(nd), spec(nd)]
+    if terrain_mode:
+        in_specs += [spec(ng), spec(ng * 3)]
+    if wrench_mode:
+        in_specs.append(spec(nb * 6))
+    if fric_mode:
+        in_specs.append(spec(ng))
 
-    def run(q, qd, pos_target, vel_target, effort):
+    def run(q, qd, pos_target, vel_target, effort,
+            ground_h=None, ground_n=None, body_wrench=None, geom_fric=None):
         f32 = jnp.float32
-        outs = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[spec(nq), spec(nv), spec(nd), spec(nd), spec(nd)],
-            out_specs=out_specs,
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(
+        args = [
             to_soa(q.astype(f32), nq),
             to_soa(qd.astype(f32), nv),
             to_soa(pos_target.astype(f32), nd),
             to_soa(vel_target.astype(f32), nd),
             to_soa(effort.astype(f32), nd),
-        )
+        ]
+        if terrain_mode:
+            args.append(to_soa(ground_h.astype(f32), ng))
+            args.append(to_soa(ground_n.reshape(num_envs, ng * 3).astype(f32), ng * 3))
+        if wrench_mode:
+            args.append(to_soa(body_wrench.reshape(num_envs, nb * 6).astype(f32), nb * 6))
+        if fric_mode:
+            args.append(to_soa(jnp.broadcast_to(geom_fric, (num_envs, ng)).astype(f32), ng))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*args)
         q_new = from_soa(outs[0])
         qd_new = from_soa(outs[1])
         dof_force = from_soa(outs[2])

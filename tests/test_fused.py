@@ -136,7 +136,58 @@ def test_fused_gate_rejects_unsupported():
     ctrl = engine.Control.zero(model, N)
     # wrong env multiple
     assert not fused_mod.fused_ok(model, None, ctrl.body_wrench, 100)
-    # body wrench present
-    assert not fused_mod.fused_ok(
-        model, None, jnp.zeros((N, model.nb, 6)), N
+    # DR-batched body mass falls back
+    batched = model.replace(
+        body_mass=jnp.tile(jnp.asarray(model.body_mass), (N, 1))
+    )
+    assert not fused_mod.fused_ok(batched, None, None, N)
+    # body wrench is supported (input mode)
+    assert fused_mod.fused_ok(model, None, jnp.zeros((N, model.nb, 6)), N)
+
+
+@pytest.mark.parametrize("substeps,bumpy", [(1, True), (4, False)])
+def test_fused_terrain_wrench_friction_matches_engine(substeps, bumpy, monkeypatch):
+    """Terrain heights/normals, external wrenches, and per-env friction as
+    kernel inputs.  substeps=1: heights are sampled at identical positions
+    in both paths, so even a bumpy heightfield must match exactly.
+    substeps>1 uses a constant-height field (per-substep lookup == held)."""
+    from isaacgymenv_tpu.physics import fused as fused_mod
+    from isaacgymenv_tpu.physics.contact import Heightfield
+
+    model = _quad_model()
+    n = N
+    # per-env friction buckets (fric_mode)
+    fric = jnp.tile(
+        jnp.linspace(0.4, 1.2, n)[:, None], (1, model.ng)
+    )
+    model = model.replace(geom_friction=fric)
+
+    key = jax.random.PRNGKey(3)
+    q0, qd0 = _rand_state(model, key, z0=0.5)
+    # refresh pose caches: the fused path samples terrain heights at the
+    # cached geom positions (always fresh in the env flow)
+    sim0 = engine.forward(model, None, _empty_sim(model, q0, qd0))
+    heights = (
+        0.05 * jnp.sin(jnp.arange(64.0))[:, None] * jnp.cos(jnp.arange(64.0))[None, :]
+        if bumpy else jnp.full((64, 64), 0.07)
+    )
+    terrain = Heightfield(heights=heights, hscale=0.3, border_x=-9.0, border_y=-9.0)
+    wrench = 2.0 * jax.random.normal(jax.random.fold_in(key, 5), (n, model.nb, 6))
+    ctrl = engine.Control.zero(model, n).replace(
+        pos_target=0.3 * jax.random.normal(jax.random.fold_in(key, 1), (n, model.nd)),
+        effort=4.0 * jax.random.normal(jax.random.fold_in(key, 2), (n, model.nd)),
+        body_wrench=wrench,
+    )
+    assert fused_mod.fused_ok(model, terrain, ctrl.body_wrench, n)
+
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
+    ref = engine.step(model, terrain, sim0, ctrl, 0.02, substeps)
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    out = engine.step(model, terrain, sim0, ctrl, 0.02, substeps)
+
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.qd), np.asarray(ref.qd), rtol=2e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.contact_force), np.asarray(ref.contact_force),
+        rtol=2e-3, atol=5e-2,
     )
