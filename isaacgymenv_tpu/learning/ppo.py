@@ -473,13 +473,27 @@ class PPO:
         return ts, info
 
     # ------------------------------------------------------------------
+    # The epoch is TWO jit programs, not one: the rollout program contains
+    # the fused Pallas physics kernel and compiles like the pure-env bench;
+    # folding the minibatch-SGD scans into the same program makes the
+    # combined XLA+Mosaic compile pathologically slow through the remote
+    # TPU compile relay.  The host roundtrip between them is one dispatch
+    # per epoch (~98k env-steps) — noise.
     @partial(jax.jit, static_argnums=0)
-    def train_epoch(self, ts: TrainState):
-        """One full PPO epoch: rollout + GAE + mini-epoch updates (one jit)."""
+    def _rollout_gae_jit(self, ts: TrainState):
         ts, batch = self._rollout(ts)
         env_metrics = batch.pop("_env_metrics", None)
         advs, returns = self._gae(ts, batch)
-        ts, info = self._update(ts, batch, advs, returns)
+        return ts, batch, advs, returns, env_metrics
+
+    @partial(jax.jit, static_argnums=0)
+    def _update_jit(self, ts: TrainState, batch, advs, returns):
+        return self._update(ts, batch, advs, returns)
+
+    def train_epoch(self, ts: TrainState):
+        """One full PPO epoch: rollout + GAE + mini-epoch updates."""
+        ts, batch, advs, returns, env_metrics = self._rollout_gae_jit(ts)
+        ts, info = self._update_jit(ts, batch, advs, returns)
         if env_metrics is not None:
             info.update({k: v.mean() for k, v in env_metrics.items()})
         return ts, info
