@@ -510,14 +510,21 @@ class PPO:
         ts = init_ts if init_ts is not None else self.init(seed)
         epochs = max_epochs or self.cfg.max_epochs
         steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
-        t0 = time.time()
+        t_win = time.time()
+        ep_win = 0
         for ep in range(epochs):
             ts, info = self.train_epoch(ts)
             if callback is not None:
                 callback(ep, ts, info)
             if log_every and (ep % log_every == 0 or ep == epochs - 1):
                 jax.block_until_ready(info["loss"])
-                fps = steps_per_epoch * (ep + 1) / (time.time() - t0)
+                # windowed fps (since last print): the steady-state rate,
+                # not a cumulative average polluted by compile time
+                # (matches the reference's per-epoch fps_total,
+                # ref: learning/common_agent.py:144-150)
+                now = time.time()
+                fps = steps_per_epoch * (ep + 1 - ep_win) / max(now - t_win, 1e-9)
+                t_win, ep_win = now, ep + 1
                 print(
                     f"epoch {ep:5d} | return {float(info['mean_return']):9.2f} "
                     f"| len {float(info['mean_length']):6.1f} | kl {float(info['kl']):.4f} "
