@@ -146,10 +146,24 @@ class AMPPPO(PPO):
         return loss, dict(disc_gp=gp, disc_agent_acc=acc_agent, disc_demo_acc=acc_demo)
 
     # ------------------------------------------------------------------
+    # rollout and update are SEPARATE jit programs (same reason as
+    # PPO.train_epoch: the fused Pallas physics kernel plus the SGD scans
+    # in one program compiles pathologically slowly via the remote relay)
     @partial(jax.jit, static_argnums=0)
-    def train_epoch(self, ts: AMPTrainState):
+    def _amp_rollout_jit(self, ts: AMPTrainState):
         ts, batch = self._rollout(ts)
         env_metrics = batch.pop("_env_metrics", None)
+        return ts, batch, env_metrics
+
+    def train_epoch(self, ts: AMPTrainState):
+        ts, batch, env_metrics = self._amp_rollout_jit(ts)
+        ts, info = self._amp_update_jit(ts, batch)
+        if env_metrics is not None:
+            info.update({k: v.mean() for k, v in env_metrics.items()})
+        return ts, info
+
+    @partial(jax.jit, static_argnums=0)
+    def _amp_update_jit(self, ts: AMPTrainState, batch):
         H, N = batch["reward"].shape
         B = H * N
         amp_flat = batch["amp_obs"].reshape(B, self.amp_dim)
@@ -228,6 +242,4 @@ class AMPPPO(PPO):
             disc_demo_acc=acc_d.mean(),
             disc_reward=disc_r.mean(),
         )
-        if env_metrics is not None:
-            info.update({k: v.mean() for k, v in env_metrics.items()})
         return ts, info

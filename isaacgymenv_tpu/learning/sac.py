@@ -287,10 +287,19 @@ class SAC:
         return ts, dict(c_loss=c_loss, a_loss=a_loss, alpha=alpha)
 
     # ------------------------------------------------------------------
+    # collection and updates are SEPARATE jit programs (same reason as
+    # PPO.train_epoch: fused Pallas env + SGD scans in one program compile
+    # pathologically slowly via the remote TPU compile relay)
     @partial(jax.jit, static_argnums=0)
-    def train_epoch(self, ts: SACState):
-        ts = self._collect(ts)
+    def _collect_jit(self, ts: SACState):
+        return self._collect(ts)
 
+    def train_epoch(self, ts: SACState):
+        ts = self._collect_jit(ts)
+        return self._update_epoch_jit(ts)
+
+    @partial(jax.jit, static_argnums=0)
+    def _update_epoch_jit(self, ts: SACState):
         def upd(ts, key):
             return self._update_once(ts, key)
 
