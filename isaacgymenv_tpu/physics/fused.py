@@ -68,12 +68,14 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     contacts, anchors, tendons, gravcomp, screw joints, and other
     DR-batched model params fall back to the XLA path.
     """
-    if model.n_pairs or model.anchor_body or model.tendon_dof:
-        return False
-    if model.body_gravcomp is not None:
-        return False
     if any(jt not in (JT_FREE, JT_REVOLUTE, JT_PRISMATIC, JT_FIXED) for jt in model.jtype):
         return False
+    # pair-contact / anchor / tendon params must be static to bake
+    for leaf in (model.surf_size, model.surf_friction, model.surf_meff,
+                 model.anchor_target, model.anchor_meff, model.tendon_coef,
+                 model.tendon_range, model.body_gravcomp):
+        if leaf is not None and isinstance(leaf, jax.core.Tracer):
+            return False
     # static (un-batched) model leaves only — per-env DR params fall back.
     # ndim is static metadata, safe on tracers (DR-batched leaves under jit)
     if jnp.ndim(model.body_mass) != 1:
@@ -380,6 +382,43 @@ def build_fused_substep(
     sensors = list(model.sensor_body)
     ns = len(sensors)
 
+    # pair contacts (static lists; ref contact.pair_contact_forces)
+    n_pairs = model.n_pairs
+    if n_pairs:
+        pair_geom = list(model.pair_geom)
+        pair_surf = list(model.pair_surf)
+        surf_body = list(model.surf_body)
+        surf_kind = list(model.surf_kind)
+        surf_off_c = np.asarray(model.surf_offset, np.float64)
+        surf_rotm_c = np.asarray(model.surf_rotm, np.float64)
+        surf_size_c = np.asarray(model.surf_size, np.float64)
+        surf_mu_c = np.asarray(model.surf_friction, np.float64)
+        surf_meff_c = np.asarray(model.surf_meff, np.float64)
+        surf_meff_el_c = (
+            np.asarray(model.surf_meff_el, np.float64)
+            if model.surf_meff_el is not None else surf_meff_c
+        )
+    # world anchors (ref contact.anchor_forces)
+    anchors = list(model.anchor_body)
+    if anchors:
+        anchor_off_c = np.asarray(model.anchor_offset, np.float64)
+        anchor_tgt_c = np.asarray(model.anchor_target, np.float64)
+        anchor_meff_c = np.asarray(model.anchor_meff, np.float64)
+    # per-body gravity compensation (engine._substep gravcomp block)
+    gravcomp_c = (
+        np.asarray(model.body_gravcomp, np.float64)
+        if model.body_gravcomp is not None else None
+    )
+    body_com_c = np.asarray(model.body_com, np.float64)
+    body_mass_c = np.asarray(model.body_mass, np.float64)
+    # fixed tendons (engine.passive_force tendon block)
+    tendons = list(model.tendon_dof)
+    if tendons:
+        tendon_coef_c = np.asarray(model.tendon_coef, np.float64)
+        tendon_rng_c = np.asarray(model.tendon_range, np.float64)
+        tendon_k_c = np.asarray(model.tendon_k, np.float64)
+        tendon_d_c = np.asarray(model.tendon_d, np.float64)
+
     def kernel(*refs):
         it = iter(refs)
         q_ref, qd_ref, tgt_ref, vtgt_ref, eff_ref = (next(it) for _ in range(5))
@@ -440,12 +479,22 @@ def build_fused_substep(
             f_ext = [(zero,) * 6 for _ in range(nb)]
             cf_out = [(zero,) * 3 for _ in range(nb)]
             ct_out = [(zero,) * 3 for _ in range(nb)]
+            vel_cache = {}
+
+            def body_vel_w(b):
+                if b not in vel_cache:
+                    vel_cache[b] = (
+                        _mvec(R_w[b], v[b][:3]), _mvec(R_w[b], v[b][3:])
+                    )
+                return vel_cache[b]
+
+            geom_off_w = {}
             for g in range(ng):
                 b = geom_body[g]
                 off_w = _mvec(R_w[b], tuple(float(x) for x in geom_off[g]))
+                geom_off_w[g] = off_w
                 pos_z = p_w[b][2] + off_w[2]
-                ang_w = _mvec(R_w[b], v[b][:3])
-                lin_w = _mvec(R_w[b], v[b][3:])
+                ang_w, lin_w = body_vel_w(b)
                 vel = _vadd(lin_w, _cross(ang_w, off_w))
                 if terrain_mode:
                     hgt = gh_ref[g]
@@ -474,6 +523,160 @@ def build_fused_substep(
                 f_ext[b] = _vadd(f_ext[b], torque + f_w)
                 cf_out[b] = _vadd(cf_out[b], f_w)
                 ct_out[b] = _vadd(ct_out[b], torque)
+            # ------ body-vs-body pair contacts (static pair list; mirrors
+            # contact.pair_contact_forces — the closest-feature branch per
+            # pair is selected at TRACE time from the static surface kind,
+            # so each pair costs only its own geometry) ------
+            for pi in range(n_pairs):
+                g = pair_geom[pi]
+                s_ = pair_surf[pi]
+                gb_, sb_ = geom_body[g], surf_body[s_]
+                c = _vadd(p_w[gb_], geom_off_w[g])  # sphere center, world
+                # surface frame in world
+                Rm = tuple(tuple(float(x) for x in row) for row in surf_rotm_c[s_])
+                R_s = _mmul(R_w[sb_], Rm)
+                soff = _mvec(R_w[sb_], tuple(float(x) for x in surf_off_c[s_]))
+                p_s = _vadd(p_w[sb_], soff)
+                local = _mTvec(R_s, _vsub(c, p_s))
+                sz = surf_size_c[s_]
+                kind = surf_kind[s_]
+                eps = 1e-9
+                if kind == 0:  # sphere
+                    dist_c = jnp.sqrt(local[0] ** 2 + local[1] ** 2 + local[2] ** 2)
+                    inv = 1.0 / jnp.maximum(dist_c, eps)
+                    n_l = tuple(local[k] * inv for k in range(3))
+                    d_surf = dist_c - float(sz[0])
+                elif kind == 1:  # box (half extents)
+                    half = tuple(float(x) for x in sz)
+                    qv = tuple(jnp.clip(local[k], -half[k], half[k]) for k in range(3))
+                    delta = _vsub(local, qv)
+                    dist_out = jnp.sqrt(delta[0] ** 2 + delta[1] ** 2 + delta[2] ** 2)
+                    inv = 1.0 / jnp.maximum(dist_out, eps)
+                    n_out = tuple(delta[k] * inv for k in range(3))
+                    face = tuple(half[k] - jnp.abs(local[k]) for k in range(3))
+                    # nearest inside face (argmin over 3 via pairwise where)
+                    m01 = jnp.minimum(face[0], face[1])
+                    d_in = -jnp.minimum(m01, face[2])
+                    pick0 = (face[0] <= face[1]) & (face[0] <= face[2])
+                    pick1 = (~pick0) & (face[1] <= face[2])
+                    n_in = (
+                        jnp.where(pick0, jnp.sign(local[0]), 0.0),
+                        jnp.where(pick1, jnp.sign(local[1]), 0.0),
+                        jnp.where(~(pick0 | pick1), jnp.sign(local[2]), 0.0),
+                    )
+                    inside = dist_out <= eps
+                    n_l = tuple(jnp.where(inside, n_in[k], n_out[k]) for k in range(3))
+                    d_surf = jnp.where(inside, d_in, dist_out)
+                elif kind == 2:  # capsule [R, half_len], axis local z
+                    seg_z = jnp.clip(local[2], -float(sz[1]), float(sz[1]))
+                    d_vec = (local[0], local[1], local[2] - seg_z)
+                    dist_seg = jnp.sqrt(d_vec[0] ** 2 + d_vec[1] ** 2 + d_vec[2] ** 2)
+                    inv = 1.0 / jnp.maximum(dist_seg, eps)
+                    n_l = tuple(d_vec[k] * inv for k in range(3))
+                    d_surf = dist_seg - float(sz[0])
+                else:  # capped cylinder [R, half_len]
+                    rho = jnp.sqrt(local[0] ** 2 + local[1] ** 2)
+                    inv_rho = 1.0 / jnp.maximum(rho, eps)
+                    rdir = (local[0] * inv_rho, local[1] * inv_rho)
+                    dr = rho - float(sz[0])
+                    dz = jnp.abs(local[2]) - float(sz[1])
+                    out_r = jnp.maximum(dr, 0.0)
+                    out_z = jnp.maximum(dz, 0.0)
+                    d_out = jnp.sqrt(out_r * out_r + out_z * out_z)
+                    d_in = jnp.maximum(dr, dz)
+                    d_surf = jnp.where(d_in < 0, d_in, d_out)
+                    szn = jnp.sign(local[2])
+                    inv_do = 1.0 / jnp.maximum(d_out, eps)
+                    n_out3 = (out_r * rdir[0] * inv_do, out_r * rdir[1] * inv_do,
+                              out_z * szn * inv_do)
+                    cap_in = dz > dr
+                    n_in3 = (
+                        jnp.where(cap_in, 0.0, rdir[0]),
+                        jnp.where(cap_in, 0.0, rdir[1]),
+                        jnp.where(cap_in, szn, 0.0),
+                    )
+                    n_l = tuple(
+                        jnp.where(d_in < 0, n_in3[k], n_out3[k]) for k in range(3)
+                    )
+                n_w = _mvec(R_s, n_l)  # world, away from surface
+                r_g = float(geom_r[g])
+                depth = r_g - d_surf
+                active = depth > 0.0
+                x_c = tuple(c[k] - n_w[k] * r_g for k in range(3))
+                lever_g = _vsub(x_c, p_w[gb_])
+                lever_s = _vsub(x_c, p_w[sb_])
+                ag, lg = body_vel_w(gb_)
+                as_, ls = body_vel_w(sb_)
+                v_g = _vadd(lg, _cross(ag, lever_g))
+                v_s = _vadd(ls, _cross(as_, lever_s))
+                v_rel = _vsub(v_g, v_s)
+                v_n = v_rel[0] * n_w[0] + v_rel[1] * n_w[1] + v_rel[2] * n_w[2]
+                v_t = tuple(v_rel[k] - v_n * n_w[k] for k in range(3))
+                vt_norm = jnp.sqrt(v_t[0] ** 2 + v_t[1] ** 2 + v_t[2] ** 2)
+                m_g_ = float(geom_meff[g])
+                m_s_ = float(surf_meff_c[s_])
+                m_pair = m_g_ * m_s_ / (m_g_ + m_s_)
+                arrest = 0.25 * m_pair / h
+                mg_el = float(geom_meff_el[g])
+                ms_el = float(surf_meff_el_c[s_])
+                m_pair_el = mg_el * ms_el / (mg_el + ms_el)
+                kn_eff = min(kn_c, m_pair_el / (h * h))
+                d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
+                approach = jnp.maximum(-v_n, 0.0)
+                f_damp = jnp.minimum(kd_c * d_pos, arrest) * approach
+                fn = jnp.where(active, kn_eff * d_pos + f_damp, 0.0)
+                if fric_mode:
+                    mu = jnp.sqrt(fr_ref[g] * float(surf_mu_c[s_]))
+                else:
+                    mu = float(np.sqrt(geom_mu[g] * surf_mu_c[s_]))
+                ft_mag = jnp.minimum(min(arrest, kt_c) * vt_norm, mu * fn)
+                scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
+                f_p = tuple(fn * n_w[k] - v_t[k] * scale for k in range(3))
+                tq_g = _cross(lever_g, f_p)
+                f_n = tuple(-f_p[k] for k in range(3))
+                tq_s = _cross(lever_s, f_n)
+                f_ext[gb_] = _vadd(f_ext[gb_], tq_g + f_p)
+                f_ext[sb_] = _vadd(f_ext[sb_], tq_s + f_n)
+                cf_out[gb_] = _vadd(cf_out[gb_], f_p)
+                cf_out[sb_] = _vadd(cf_out[sb_], f_n)
+                ct_out[gb_] = _vadd(ct_out[gb_], tq_g)
+                ct_out[sb_] = _vadd(ct_out[sb_], tq_s)
+
+            # ------ world anchors (contact.anchor_forces: momentum-capped
+            # Baumgarte point constraints) ------
+            for ai, ab in enumerate(anchors):
+                off_a = _mvec(R_w[ab], tuple(float(x) for x in anchor_off_c[ai]))
+                p_a = _vadd(p_w[ab], off_a)
+                aw, lw = body_vel_w(ab)
+                v_a = _vadd(lw, _cross(aw, off_a))
+                m_a = float(anchor_meff_c[ai])
+                kp_a = 0.2 * m_a / (h * h)
+                kd_a = 0.7 * m_a / h
+                a_tgt = tuple(float(x) for x in anchor_tgt_c[ai])
+                f_a = tuple(
+                    -kp_a * (p_a[k] - a_tgt[k]) - kd_a * v_a[k] for k in range(3)
+                )
+                tq_a = _cross(off_a, f_a)
+                f_ext[ab] = _vadd(f_ext[ab], tq_a + f_a)
+
+            # ------ per-body gravity compensation (engine gravcomp block) --
+            if gravcomp_c is not None:
+                for b in range(nb):
+                    gc = float(gravcomp_c[b]) * float(body_mass_c[b])
+                    if gc == 0.0:
+                        continue
+                    f_g = tuple(-gc * float(g_) for g_ in g_vec)
+                    com_w = _mvec(R_w[b], tuple(float(x) for x in body_com_c[b]))
+                    tq_g = _cross(com_w, f_g)
+                    f_ext[b] = _vadd(
+                        f_ext[b], tuple(tq_g[k] + zero for k in range(3)) + f_g
+                    )
+
+            # engine parity: contact_torque is the TOTAL external moment
+            # (ground + pair + anchor + gravcomp) excluding the commanded
+            # wrench (engine._substep contact_torque line)
+            for b in range(nb):
+                ct_out[b] = tuple(f_ext[b][k] + zero for k in range(3))
             if wrench_mode:
                 for b in range(nb):
                     w6 = tuple(bw_ref[b * 6 + k] for k in range(6))
@@ -519,6 +722,23 @@ def build_fused_substep(
                     + h * h * (kp_drive + kp_imp)
                 )
                 tau_d[d] = tau_a + tau_p
+
+            # fixed tendons: L = sum(coef*q) range-limit springs
+            # (engine.passive_force tendon block; shadow-hand distal couplings)
+            for ti, td in enumerate(tendons):
+                coefs = [float(c_) for c_ in tendon_coef_c[ti]]
+                dpos = [q[q_adr[d_body[dd]]] for dd in td]
+                dvel = [qd[v_adr[d_body[dd]]] for dd in td]
+                L = sum(c_ * p_ for c_, p_ in zip(coefs, dpos))
+                Ld = sum(c_ * v_ for c_, v_ in zip(coefs, dvel))
+                lo_t, hi_t = float(tendon_rng_c[ti][0]), float(tendon_rng_c[ti][1])
+                viol = jnp.maximum(L - hi_t, 0.0) + jnp.minimum(L - lo_t, 0.0)
+                f_t = (
+                    -float(tendon_k_c[ti]) * viol
+                    - float(tendon_d_c[ti]) * Ld * (jnp.abs(viol) > 0)
+                )
+                for c_, dd in zip(coefs, td):
+                    tau_d[dd] = tau_d[dd] + f_t * c_
 
             # ---------------- ABA (mirrors dynamics.aba) ----------------
             IA = [None] * nb

@@ -191,3 +191,85 @@ def test_fused_terrain_wrench_friction_matches_engine(substeps, bumpy, monkeypat
         np.asarray(out.contact_force), np.asarray(ref.contact_force),
         rtol=2e-3, atol=5e-2,
     )
+
+
+@pytest.mark.parametrize("substeps", [1, 4])
+def test_fused_pairs_anchors_tendons_gravcomp(substeps, monkeypatch):
+    """Full-scene features in the fused kernel: body-vs-body pair contacts
+    (box + cylinder + capsule + sphere surfaces), world anchors, fixed
+    tendons, and per-body gravity compensation — vs the XLA path."""
+    from isaacgymenv_tpu.physics import fused as fused_mod
+    from isaacgymenv_tpu.physics.builder import ModelBuilder
+
+    mb = ModelBuilder()
+    # actor 0: 2-dof "hand" with tendon-coupled joints + finger sphere geoms
+    base = mb.add_body("base", -1, JT_FREE, mass=1.5,
+                       inertia=np.diag([0.01, 0.012, 0.014]), com=(0, 0, 0.01),
+                       gravcomp=1.0)
+    j1 = mb.add_body("j1", base, JT_REVOLUTE, joint_pos=(0.08, 0, 0),
+                     joint_axis=(0, 1, 0), joint_name="j1", mass=0.2,
+                     com=(0, 0, -0.05), inertia=np.diag([4e-4] * 3),
+                     drive_mode=DRIVE_POS, stiffness=20.0, damping=0.5,
+                     lower=-1.0, upper=1.0, has_limit=True, effort=10.0,
+                     armature=0.001, maxvel=20.0)
+    j2 = mb.add_body("j2", j1, JT_REVOLUTE, joint_pos=(0, 0, -0.1),
+                     joint_axis=(0, 1, 0), joint_name="j2", mass=0.1,
+                     com=(0, 0, -0.04), inertia=np.diag([2e-4] * 3),
+                     drive_mode=DRIVE_POS, stiffness=10.0, damping=0.3,
+                     lower=-1.0, upper=1.0, has_limit=True, effort=8.0,
+                     armature=0.001, maxvel=20.0)
+    mb.add_geom_sphere(j2, (0.0, 0.0, -0.08), 0.02, friction=1.0)
+    mb.add_geom_sphere(base, (0.0, 0.05, 0.0), 0.03, friction=0.8)
+    mb.add_tendon(["j1", "j2"], [1.0, -1.0], -0.4, 0.4, k=25.0, d=0.2)
+    mb.add_anchor(base, offset=(0.0, 0.0, 0.02), target=(0.0, 0.0, 0.45))
+
+    # actor 1: free "object" with every surface kind
+    obj = ModelBuilder()
+    ob = obj.add_body("obj", -1, JT_FREE, mass=0.3,
+                      inertia=np.diag([3e-4, 3e-4, 3e-4]), com=(0, 0, 0))
+    obj.add_surface(ob, ModelBuilder.SURF_BOX, (0, 0, 0), None, (0.04, 0.04, 0.04), 0.9)
+    obj.add_surface(ob, ModelBuilder.SURF_SPHERE, (0.0, 0.0, 0.06), None, (0.02, 0, 0), 0.9)
+    obj.add_surface(ob, ModelBuilder.SURF_CYLINDER, (0.06, 0, 0), None, (0.02, 0.03, 0), 0.9)
+    obj.add_surface(ob, ModelBuilder.SURF_CAPSULE, (-0.06, 0, 0), None, (0.015, 0.02, 0), 0.9)
+    obj.add_geom_sphere(ob, (0, 0, -0.04), 0.015, friction=0.9)
+    mb.merge(obj)
+    mb.gravity = np.array([0.0, 0.0, -9.81])
+    model = attach_effective_masses(mb.finalize())
+    assert model.n_pairs > 0 and model.anchor_body and model.tendon_dof
+
+    n = N
+    key = jax.random.PRNGKey(9)
+    nq = model.nq
+    q0 = jnp.zeros((n, nq))
+    # hand base near the anchor, object right below the fingertip
+    q0 = q0.at[:, 2].set(0.42 + 0.02 * jax.random.uniform(key, (n,)))
+    q0 = q0.at[:, 6].set(1.0)
+    q0 = q0.at[:, 7:9].set(0.5 * jax.random.normal(jax.random.fold_in(key, 1), (n, 2)))
+    qa_obj = model.q_adr[model.actor_root[1]]
+    q0 = q0.at[:, qa_obj + 0].set(0.08)
+    q0 = q0.at[:, qa_obj + 2].set(
+        0.2 + 0.02 * jax.random.uniform(jax.random.fold_in(key, 2), (n,))
+    )
+    q0 = q0.at[:, qa_obj + 6].set(1.0)
+    qd0 = 0.3 * jax.random.normal(jax.random.fold_in(key, 3), (n, model.nv))
+    sim0 = engine.forward(model, None, _empty_sim(model, q0, qd0))
+    ctrl = engine.Control.zero(model, n).replace(
+        pos_target=0.4 * jax.random.normal(jax.random.fold_in(key, 4), (n, model.nd)),
+    )
+    assert fused_mod.fused_ok(model, None, ctrl.body_wrench, n)
+
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
+    ref = engine.step(model, None, sim0, ctrl, 0.02, substeps)
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    out = engine.step(model, None, sim0, ctrl, 0.02, substeps)
+
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.qd), np.asarray(ref.qd), rtol=2e-3, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(out.contact_force), np.asarray(ref.contact_force),
+        rtol=2e-3, atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.contact_torque), np.asarray(ref.contact_torque),
+        rtol=2e-3, atol=5e-2,
+    )
