@@ -145,6 +145,28 @@ def _implicit_drive_terms(model: SimModel, h: float, dof_pos: jnp.ndarray) -> jn
     return h * kd + h * h * kp
 
 
+_MAX_ROOT_ANGVEL = 64.0    # rad/s — PhysX asset default max_angular_velocity
+_MAX_ROOT_LINVEL = 1000.0  # m/s  — PhysX asset default max_linear_velocity
+
+
+def _clamp_root_vel(model: SimModel, qd):
+    """Clamp free-root velocities at the PhysX per-body limits — the guard
+    that bounds energy injection from pathological multi-contact states (an
+    explicit penalty contact can otherwise pump a light body to overflow;
+    PhysX bounds this inside its TGS solver)."""
+    for b in range(model.nb):
+        if model.jtype[b] != JT_FREE:
+            continue
+        va = model.v_adr[b]
+        qd = qd.at[..., va : va + 3].set(
+            jnp.clip(qd[..., va : va + 3], -_MAX_ROOT_ANGVEL, _MAX_ROOT_ANGVEL)
+        )
+        qd = qd.at[..., va + 3 : va + 6].set(
+            jnp.clip(qd[..., va + 3 : va + 6], -_MAX_ROOT_LINVEL, _MAX_ROOT_LINVEL)
+        )
+    return qd
+
+
 def _integrate(model: SimModel, q, qd_new, dt):
     """Semi-implicit Euler position update (free joints via quat exp map)."""
     q_new = q
@@ -237,6 +259,7 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     if model.nd > 0:
         dv = jnp.clip(qd_new[..., vi], -model.dof_maxvel, model.dof_maxvel)
         qd_new = qd_new.at[..., vi].set(dv)
+    qd_new = _clamp_root_vel(model, qd_new)
     q_new = _integrate(model, state.q, qd_new, dt)
 
     # NOTE: body pose/velocity caches are NOT written per substep — `forward`
