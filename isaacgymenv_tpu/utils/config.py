@@ -93,6 +93,11 @@ def apply_cli_overrides(cfg: Dict, argv) -> Dict:
 
 
 def asset_root() -> str:
-    """Robot asset directory.  Defaults to the read-only reference mount;
-    override with ISAACGYMENV_TPU_ASSET_ROOT."""
-    return os.environ.get("ISAACGYMENV_TPU_ASSET_ROOT", "/root/reference/assets")
+    """Robot asset directory.  Defaults to the VENDORED copy shipped with
+    the repo (<repo>/assets — URDF/MJCF robots, meshes, AMP mocap `.npy`s);
+    override with ISAACGYMENV_TPU_ASSET_ROOT.  The framework is standalone:
+    nothing outside the repo is required at runtime."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.environ.get(
+        "ISAACGYMENV_TPU_ASSET_ROOT", os.path.join(here, "assets")
+    )

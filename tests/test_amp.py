@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-MOTION = "/root/reference/assets/amp/motions/amp_humanoid_walk.npy"
+import os
+
+from isaacgymenv_tpu.utils.config import asset_root
+
+MOTION = os.path.join(asset_root(), "amp/motions/amp_humanoid_walk.npy")
 KEYS = ["right_hand", "left_hand", "right_foot", "left_foot"]
 
 
