@@ -279,12 +279,14 @@ def pair_contact_forces(
     kn = model.contact_stiffness
     kd = model.contact_damping
     kt = model.tangential_stiffness
-    m_g = model.geom_meff[pg]
+    # `[..., pg]` keeps the gather on the geom axis when geom_meff is
+    # DR-batched to (N, ng)
+    m_g = model.geom_meff[..., pg]
     m_s = model.surf_meff[ps]
     m_pair = m_g * m_s / (m_g + m_s)  # reduced mass of the pair
     kappa = 0.25
     arrest = kappa * m_pair / h
-    m_g_el = (model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff)[pg]
+    m_g_el = (model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff)[..., pg]
     m_s_el = (model.surf_meff_el if model.surf_meff_el is not None else model.surf_meff)[ps]
     m_pair_el = m_g_el * m_s_el / (m_g_el + m_s_el)
     kn_eff = jnp.minimum(kn, m_pair_el / (h * h))

@@ -311,11 +311,23 @@ def step(
         terrain_mode = terrain is not None
         wrench_mode = ctrl.body_wrench is not None
         fric_mode = jnp.ndim(model.geom_friction) == 2
+        # DR-batched model leaves ride as kernel inputs (the fast path
+        # survives domain randomization — VERDICT r1 item #5)
+        mass_mode = (
+            jnp.ndim(model.body_mass) == 2 or jnp.ndim(model.geom_meff) == 2
+        )
+        dof_mode = bool(model.nd) and any(
+            jnp.ndim(x) == 2
+            for x in (model.dof_stiffness, model.dof_damping,
+                      model.dof_lower, model.dof_upper)
+        )
+        grav_mode = jnp.ndim(model.gravity) == 2
         run = fused_mod.build_fused_substep(
             model, h, substeps, n,
             interpret=jax.default_backend() not in ("tpu",),
             terrain_mode=terrain_mode, wrench_mode=wrench_mode,
-            fric_mode=fric_mode,
+            fric_mode=fric_mode, mass_mode=mass_mode, dof_mode=dof_mode,
+            grav_mode=grav_mode,
         )
         nd = model.nd
         bc = lambda x: jnp.broadcast_to(x, (n, nd))
@@ -336,6 +348,16 @@ def step(
             )
         if fric_mode:
             extras["geom_fric"] = model.geom_friction
+        if mass_mode:
+            extras["body_mass"] = model.body_mass
+            extras["geom_meff"] = model.geom_meff
+        if dof_mode:
+            extras["dof_kp"] = model.dof_stiffness
+            extras["dof_kd"] = model.dof_damping
+            extras["dof_lo"] = model.dof_lower
+            extras["dof_hi"] = model.dof_upper
+        if grav_mode:
+            extras["gravity"] = model.gravity
         q_new, qd_new, dof_force, cf, ct, jw = run(
             state.q, state.qd, bc(ctrl.pos_target), bc(ctrl.vel_target),
             bc(ctrl.effort), **extras,

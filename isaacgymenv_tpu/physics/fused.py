@@ -15,11 +15,16 @@ time into elementwise VPU ops.  There are no matmuls — a 3x3 rotation
 apply is 9 fused multiply-adds per env — so the kernel is pure VPU work
 with ~KBs of HBM traffic per step (q/qd/targets in, q/qd/forces out).
 
-Replicates `engine._substep` for the fast-path model class (floating/fixed
-base + revolute/prismatic joints, sphere-vs-flat-ground contacts, no pair
-contacts/anchors/tendons/gravcomp/DR-batched model leaves); `fused_ok`
-gates dispatch and everything else falls back to the XLA path.  Numerical
-equivalence vs engine.step is tested in tests/test_fused.py.
+Replicates `engine._substep` for the fast-path model class: floating/fixed
+base + revolute/prismatic joints, sphere-vs-ground contacts (flat plane or
+heightfield input mode), body-vs-body pair contacts against static
+sphere/box/capsule/cylinder surfaces, world anchors, fixed tendons,
+per-body gravity compensation, external body wrenches, per-env friction,
+AND the DR-batched model leaves (per-env masses, dof gains/limits,
+gravity) as runtime inputs — domain randomization stays on the fast path.
+`fused_ok` gates dispatch; screw joints and other traced model leaves fall
+back to the XLA path.  Numerical equivalence vs engine.step is tested in
+tests/test_fused.py.
 
 ref: SURVEY.md §7 "hard parts" #7 (throughput; "this is the Pallas work").
 """
@@ -50,6 +55,8 @@ from isaacgymenv_tpu.physics.engine import (  # noqa: E402
     _FRICTION_VEL_EPS,
     _LIMIT_DAMPING,
     _LIMIT_STIFFNESS,
+    _MAX_ROOT_ANGVEL,
+    _MAX_ROOT_LINVEL,
 )
 
 LANES = 128
@@ -63,10 +70,11 @@ LANES = 128
 def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     """True when the fused kernel reproduces engine._substep for this scene.
 
-    Heightfield terrain, per-body external wrenches, and per-env friction
-    are supported as kernel INPUTS (see build_fused_substep modes); pair
-    contacts, anchors, tendons, gravcomp, screw joints, and other
-    DR-batched model params fall back to the XLA path.
+    Heightfield terrain, per-body external wrenches, per-env friction, AND
+    the DR-batched model leaves (body_mass/geom_meff, dof stiffness/damping/
+    limits, gravity) are supported as kernel INPUTS (see build_fused_substep
+    modes) — the fast path survives domain randomization.  Screw joints and
+    any other batched/traced model leaves fall back to the XLA path.
     """
     if any(jt not in (JT_FREE, JT_REVOLUTE, JT_PRISMATIC, JT_FIXED) for jt in model.jtype):
         return False
@@ -76,24 +84,34 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
                  model.tendon_range, model.body_gravcomp):
         if leaf is not None and isinstance(leaf, jax.core.Tracer):
             return False
-    # static (un-batched) model leaves only — per-env DR params fall back.
-    # ndim is static metadata, safe on tracers (DR-batched leaves under jit)
-    if jnp.ndim(model.body_mass) != 1:
+    # DR-batched leaves ride as runtime inputs; ndim is static metadata,
+    # safe on tracers (DR-batched leaves under jit)
+    if jnp.ndim(model.body_mass) not in (1, 2):
         return False
-    if model.nd and jnp.ndim(model.dof_stiffness) != 1:
-        return False
+    if model.nd:
+        for leaf in (model.dof_stiffness, model.dof_damping,
+                     model.dof_lower, model.dof_upper):
+            if jnp.ndim(leaf) not in (1, 2):
+                return False
     if jnp.ndim(model.geom_friction) not in (1, 2):  # 2 = per-env input mode
         return False
-    if jnp.ndim(model.gravity) != 1:
+    if jnp.ndim(model.gravity) not in (1, 2):
         return False
-    # tracer leaves (even 1-D) cannot be baked into the kernel as constants
-    # (geom_friction excluded: it is a runtime input in fric_mode)
-    for leaf in (model.body_mass, model.dof_stiffness, model.gravity,
-                 model.contact_stiffness):
-        if isinstance(leaf, jax.core.Tracer):
+    if jnp.ndim(model.geom_meff) not in (1, 2):
+        return False
+    # 1-D tracer leaves cannot be baked as constants AND are not inputs
+    # (batched 2-D versions of these ARE inputs; see the mode flags)
+    for leaf in (model.body_mass, model.geom_meff, model.dof_stiffness,
+                 model.dof_damping, model.dof_lower, model.dof_upper,
+                 model.gravity, model.geom_friction):
+        if jnp.ndim(leaf) == 1 and isinstance(leaf, jax.core.Tracer):
             return False
-    if jnp.ndim(model.geom_friction) == 1 and isinstance(
-        model.geom_friction, jax.core.Tracer
+    if isinstance(model.contact_stiffness, jax.core.Tracer):
+        return False
+    # mass input mode scales spatial inertias linearly in mass — needs a
+    # static base mass to factor against
+    if jnp.ndim(model.body_mass) == 2 and isinstance(
+        model.body_inertia, jax.core.Tracer
     ):
         return False
     if num_envs % LANES != 0:
@@ -114,6 +132,13 @@ def _block_s(num_envs: int) -> int:
 # vectors/quats/matrices are python tuples of them.  Everything unrolls at
 # trace time into elementwise VPU ops.
 # ---------------------------------------------------------------------------
+
+
+def _smin(a, b):
+    """min() for mixed python-float / traced operands."""
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return min(a, b)
+    return jnp.minimum(a, b)
 
 
 def _vadd(a, b):
@@ -313,6 +338,7 @@ def build_fused_substep(
     model: SimModel, dt: float, substeps: int, num_envs: int,
     interpret: bool = False, terrain_mode: bool = False,
     wrench_mode: bool = False, fric_mode: bool = False,
+    mass_mode: bool = False, dof_mode: bool = False, grav_mode: bool = False,
 ):
     """Return fn(q, qd, pos_target, vel_target, effort, *extras) ->
     (q_new, qd_new, dof_force, contact_force, contact_torque, joint_wrench).
@@ -328,16 +354,24 @@ def build_fused_substep(
       (apply_rigid_body_force_tensors equivalent: pushes, rotor thrust).
     - fric_mode: per-env geom friction (N, ng) (AnymalTerrain's per-env
       friction buckets, ref: :235-239).
+    - mass_mode: DR-batched per-env body masses (N, nb) + geom effective
+      masses (N, ng).  Spatial inertias decompose as I(m) = A + m*C with
+      A (rotational, from body_inertia) and C (mass-normalized COM terms)
+      static — per-env masses cost one FMA per inertia entry.
+    - dof_mode: DR-batched per-env dof stiffness/damping/lower/upper
+      (N, nd) each (cfg randomization_params dof_properties).
+    - grav_mode: DR-batched per-env gravity (N, 3) (sim_params gravity DR).
     """
     nb, nq, nv, nd, ng = model.nb, model.nq, model.nv, model.nd, model.ng
     S = _block_s(num_envs)
     grid = num_envs // (S * LANES)
     h = float(dt)
 
-    # ---- static model constants
+    # ---- static model constants (leaves covered by an input mode are NOT
+    # read here — they may be tracers)
     jtype, parent = model.jtype, model.parent
     q_adr, v_adr = model.q_adr, model.v_adr
-    g_vec = np.asarray(model.gravity, np.float64)
+    g_vec = None if grav_mode else np.asarray(model.gravity, np.float64)
     joint_pos_c = np.asarray(model.joint_pos, np.float64)
     joint_quat_c = np.asarray(model.joint_quat, np.float64)
     joint_axis_c = np.asarray(model.joint_axis, np.float64)
@@ -346,23 +380,36 @@ def build_fused_substep(
               np.asarray(_quat_to_R(tuple(joint_quat_c[i])), np.float64))
         for i in range(nb)
     ]
-    I_const = [
-        tuple(tuple(float(v) for v in row) for row in _spatial_inertia_const(
-            np.asarray(model.body_mass)[i],
-            np.asarray(model.body_com)[i],
-            np.asarray(model.body_inertia)[i],
-        ))
-        for i in range(nb)
-    ]
+    if mass_mode:
+        # I(m) = A + m*C: A = rotational inertia about the COM placed at the
+        # body origin frame; C = d(spatial inertia)/d(mass) (COM-only terms)
+        I_A_const, I_C_const = [], []
+        for i in range(nb):
+            com_i = np.asarray(model.body_com)[i]
+            inert_i = np.asarray(model.body_inertia)[i]
+            C = _spatial_inertia_const(1.0, com_i, np.zeros((3, 3)))
+            A = _spatial_inertia_const(0.0, com_i, inert_i)
+            I_A_const.append(tuple(tuple(float(v) for v in row) for row in A))
+            I_C_const.append(tuple(tuple(float(v) for v in row) for row in C))
+        I_const = None
+    else:
+        I_const = [
+            tuple(tuple(float(v) for v in row) for row in _spatial_inertia_const(
+                np.asarray(model.body_mass)[i],
+                np.asarray(model.body_com)[i],
+                np.asarray(model.body_inertia)[i],
+            ))
+            for i in range(nb)
+        ]
     d_body = model.dof_body
-    d_lower = np.asarray(model.dof_lower, np.float64)
-    d_upper = np.asarray(model.dof_upper, np.float64)
+    d_lower = None if dof_mode else np.asarray(model.dof_lower, np.float64)
+    d_upper = None if dof_mode else np.asarray(model.dof_upper, np.float64)
     d_effort = np.asarray(model.dof_effort, np.float64)
     d_maxvel = np.asarray(model.dof_maxvel, np.float64)
     d_arm = np.asarray(model.dof_armature, np.float64)
     d_fric = np.asarray(model.dof_friction, np.float64)
-    d_kp = np.asarray(model.dof_stiffness, np.float64)
-    d_kd = np.asarray(model.dof_damping, np.float64)
+    d_kp = None if dof_mode else np.asarray(model.dof_stiffness, np.float64)
+    d_kd = None if dof_mode else np.asarray(model.dof_damping, np.float64)
     d_mode = np.asarray(model.dof_drive_mode)
     d_haslim = np.asarray(model.dof_has_limit)
     dof_of_body = {int(b): d for d, b in enumerate(d_body)}
@@ -371,11 +418,13 @@ def build_fused_substep(
     geom_off = np.asarray(model.geom_offset, np.float64)
     geom_r = np.asarray(model.geom_radius, np.float64)
     geom_mu = None if fric_mode else np.asarray(model.geom_friction, np.float64)
-    geom_meff = np.asarray(model.geom_meff, np.float64)
-    geom_meff_el = (
-        np.asarray(model.geom_meff_el, np.float64)
-        if model.geom_meff_el is not None else geom_meff
-    )
+    geom_meff = None if mass_mode else np.asarray(model.geom_meff, np.float64)
+    _el_static = model.geom_meff_el is not None
+    if _el_static:
+        geom_meff_el = np.asarray(model.geom_meff_el, np.float64)
+    else:
+        # el follows meff: static copy, or the runtime input under mass_mode
+        geom_meff_el = geom_meff
     kn_c = float(np.asarray(model.contact_stiffness))
     kd_c = float(np.asarray(model.contact_damping))
     kt_c = float(np.asarray(model.tangential_stiffness))
@@ -410,7 +459,7 @@ def build_fused_substep(
         if model.body_gravcomp is not None else None
     )
     body_com_c = np.asarray(model.body_com, np.float64)
-    body_mass_c = np.asarray(model.body_mass, np.float64)
+    body_mass_c = None if mass_mode else np.asarray(model.body_mass, np.float64)
     # fixed tendons (engine.passive_force tendon block)
     tendons = list(model.tendon_dof)
     if tendons:
@@ -426,6 +475,13 @@ def build_fused_substep(
         gn_ref = next(it) if terrain_mode else None
         bw_ref = next(it) if wrench_mode else None
         fr_ref = next(it) if fric_mode else None
+        bm_ref = next(it) if mass_mode else None   # body mass (nb,)
+        me_ref = next(it) if mass_mode else None   # geom eff. mass (ng,)
+        kp_ref = next(it) if dof_mode else None
+        kd_ref = next(it) if dof_mode else None
+        lo_ref = next(it) if dof_mode else None
+        hi_ref = next(it) if dof_mode else None
+        gv_ref = next(it) if grav_mode else None   # gravity (3,)
         qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref = (next(it) for _ in range(5))
         jw_ref = next(it) if ns else None
         q = [q_ref[i] for i in range(nq)]
@@ -504,8 +560,14 @@ def build_fused_substep(
                     n_g = (0.0, 0.0, 1.0)
                 depth = hgt + float(geom_r[g]) - pos_z
                 active = depth > 0.0
-                arrest = 0.25 * float(geom_meff[g]) / h
-                kn_eff = min(kn_c, float(geom_meff_el[g]) / (h * h))
+                meff_g = me_ref[g] if mass_mode else float(geom_meff[g])
+                arrest = 0.25 * meff_g / h
+                if _el_static:
+                    kn_eff = min(kn_c, float(geom_meff_el[g]) / (h * h))
+                elif mass_mode:
+                    kn_eff = jnp.minimum(kn_c, meff_g / (h * h))
+                else:
+                    kn_eff = min(kn_c, float(geom_meff_el[g]) / (h * h))
                 d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
                 v_n = vel[0] * n_g[0] + vel[1] * n_g[1] + vel[2] * n_g[2]
                 v_t = tuple(vel[k] - v_n * n_g[k] for k in range(3))
@@ -516,7 +578,7 @@ def build_fused_substep(
                     v_t[0] * v_t[0] + v_t[1] * v_t[1] + v_t[2] * v_t[2]
                 )
                 mu = fr_ref[g] if fric_mode else float(geom_mu[g])
-                ft_mag = jnp.minimum(min(arrest, kt_c) * vt_norm, mu * fn)
+                ft_mag = jnp.minimum(_smin(arrest, kt_c) * vt_norm, mu * fn)
                 scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
                 f_w = tuple(fn * n_g[k] - v_t[k] * scale for k in range(3))
                 torque = _cross(off_w, f_w)
@@ -613,14 +675,22 @@ def build_fused_substep(
                 v_n = v_rel[0] * n_w[0] + v_rel[1] * n_w[1] + v_rel[2] * n_w[2]
                 v_t = tuple(v_rel[k] - v_n * n_w[k] for k in range(3))
                 vt_norm = jnp.sqrt(v_t[0] ** 2 + v_t[1] ** 2 + v_t[2] ** 2)
-                m_g_ = float(geom_meff[g])
+                m_g_ = me_ref[g] if mass_mode else float(geom_meff[g])
                 m_s_ = float(surf_meff_c[s_])
                 m_pair = m_g_ * m_s_ / (m_g_ + m_s_)
                 arrest = 0.25 * m_pair / h
-                mg_el = float(geom_meff_el[g])
                 ms_el = float(surf_meff_el_c[s_])
-                m_pair_el = mg_el * ms_el / (mg_el + ms_el)
-                kn_eff = min(kn_c, m_pair_el / (h * h))
+                if _el_static:
+                    mg_el = float(geom_meff_el[g])
+                    kn_eff = min(kn_c, mg_el * ms_el / (mg_el + ms_el) / (h * h))
+                elif mass_mode:
+                    mg_el = m_g_
+                    kn_eff = jnp.minimum(
+                        kn_c, mg_el * ms_el / (mg_el + ms_el) / (h * h)
+                    )
+                else:
+                    mg_el = float(geom_meff_el[g])
+                    kn_eff = min(kn_c, mg_el * ms_el / (mg_el + ms_el) / (h * h))
                 d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
                 approach = jnp.maximum(-v_n, 0.0)
                 f_damp = jnp.minimum(kd_c * d_pos, arrest) * approach
@@ -629,7 +699,7 @@ def build_fused_substep(
                     mu = jnp.sqrt(fr_ref[g] * float(surf_mu_c[s_]))
                 else:
                     mu = float(np.sqrt(geom_mu[g] * surf_mu_c[s_]))
-                ft_mag = jnp.minimum(min(arrest, kt_c) * vt_norm, mu * fn)
+                ft_mag = jnp.minimum(_smin(arrest, kt_c) * vt_norm, mu * fn)
                 scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
                 f_p = tuple(fn * n_w[k] - v_t[k] * scale for k in range(3))
                 tq_g = _cross(lever_g, f_p)
@@ -661,11 +731,16 @@ def build_fused_substep(
 
             # ------ per-body gravity compensation (engine gravcomp block) --
             if gravcomp_c is not None:
+                g3 = (
+                    (gv_ref[0], gv_ref[1], gv_ref[2]) if grav_mode
+                    else tuple(float(g_) for g_ in g_vec)
+                )
                 for b in range(nb):
-                    gc = float(gravcomp_c[b]) * float(body_mass_c[b])
-                    if gc == 0.0:
+                    if float(gravcomp_c[b]) == 0.0:
                         continue
-                    f_g = tuple(-gc * float(g_) for g_ in g_vec)
+                    m_b = bm_ref[b] if mass_mode else float(body_mass_c[b])
+                    gc = float(gravcomp_c[b]) * m_b
+                    f_g = tuple(-gc * g3[k] for k in range(3))
                     com_w = _mvec(R_w[b], tuple(float(x) for x in body_com_c[b]))
                     tq_g = _cross(com_w, f_g)
                     f_ext[b] = _vadd(
@@ -689,7 +764,10 @@ def build_fused_substep(
                 b = d_body[d]
                 dp, dv = q[q_adr[b]], qd[v_adr[b]]
                 mode = int(d_mode[d])
-                kp, kd_ = float(d_kp[d]), float(d_kd[d])
+                if dof_mode:
+                    kp, kd_ = kp_ref[d], kd_ref[d]
+                else:
+                    kp, kd_ = float(d_kp[d]), float(d_kd[d])
                 if mode == DRIVE_POS:
                     tau_a = kp * (tgt[d] - dp) - kd_ * dv
                 elif mode == DRIVE_VEL:
@@ -700,7 +778,10 @@ def build_fused_substep(
                     tau_a = zero
                 lim = float(d_effort[d])
                 tau_a = jnp.clip(tau_a, -lim, lim)
-                lo, hi = float(d_lower[d]), float(d_upper[d])
+                if dof_mode:
+                    lo, hi = lo_ref[d], hi_ref[d]
+                else:
+                    lo, hi = float(d_lower[d]), float(d_upper[d])
                 fr = float(d_fric[d])
                 if bool(d_haslim[d]):
                     below = jnp.minimum(dp - lo, 0.0)
@@ -745,8 +826,22 @@ def build_fused_substep(
             pA = [None] * nb
             c_b = [None] * nb
             for i in range(nb):
-                Ic = I_const[i]
-                IA[i] = [[Ic[r][cc] for cc in range(6)] for r in range(6)]
+                if mass_mode:
+                    # I(m) = A + m*C with A/C static; per-env mass from input
+                    Ac, Cc = I_A_const[i], I_C_const[i]
+                    m_i = bm_ref[i]
+                    IA[i] = [
+                        [
+                            (Ac[r][cc] + m_i * Cc[r][cc])
+                            if Cc[r][cc] != 0.0 else Ac[r][cc]
+                            for cc in range(6)
+                        ]
+                        for r in range(6)
+                    ]
+                else:
+                    Ic = I_const[i]
+                    IA[i] = [[Ic[r][cc] for cc in range(6)] for r in range(6)]
+                Ic = IA[i]
                 c_b[i] = _crm(v[i], vJ[i])
                 Iv = tuple(sum(Ic[r][k] * v[i][k] for k in range(6)) for r in range(6))
                 pA_i = list(_crf(v[i], Iv))
@@ -807,7 +902,13 @@ def build_fused_substep(
                     ]
                     pA[par] = tuple(pA[par][r] + pa_p[r] for r in range(6))
 
-            g6 = (0.0, 0.0, 0.0, float(-g_vec[0]), float(-g_vec[1]), float(-g_vec[2]))
+            if grav_mode:
+                g6 = (0.0, 0.0, 0.0, -gv_ref[0], -gv_ref[1], -gv_ref[2])
+            else:
+                g6 = (
+                    0.0, 0.0, 0.0,
+                    float(-g_vec[0]), float(-g_vec[1]), float(-g_vec[2]),
+                )
             qdd = [zero] * nv
             a_b = [None] * nb
             for i in range(nb):
@@ -851,6 +952,20 @@ def build_fused_substep(
                 va = v_adr[d_body[d]]
                 mv = float(d_maxvel[d])
                 qd_new[va] = jnp.clip(qd_new[va], -mv, mv)
+            # free-root velocity clamp (engine._clamp_root_vel parity): the
+            # PhysX per-body max_angular/linear_velocity guard that bounds
+            # energy injection from pathological multi-contact states
+            for b in range(nb):
+                if jtype[b] != JT_FREE:
+                    continue
+                va = v_adr[b]
+                for k in range(3):
+                    qd_new[va + k] = jnp.clip(
+                        qd_new[va + k], -_MAX_ROOT_ANGVEL, _MAX_ROOT_ANGVEL
+                    )
+                    qd_new[va + 3 + k] = jnp.clip(
+                        qd_new[va + 3 + k], -_MAX_ROOT_LINVEL, _MAX_ROOT_LINVEL
+                    )
             q_new = list(q)
             for b in range(nb):
                 if jtype[b] != JT_FREE:
@@ -932,10 +1047,21 @@ def build_fused_substep(
         in_specs.append(spec(nb * 6))
     if fric_mode:
         in_specs.append(spec(ng))
+    if mass_mode:
+        in_specs += [spec(nb), spec(ng)]
+    if dof_mode:
+        in_specs += [spec(nd), spec(nd), spec(nd), spec(nd)]
+    if grav_mode:
+        in_specs.append(spec(3))
 
     def run(q, qd, pos_target, vel_target, effort,
-            ground_h=None, ground_n=None, body_wrench=None, geom_fric=None):
+            ground_h=None, ground_n=None, body_wrench=None, geom_fric=None,
+            body_mass=None, geom_meff=None, dof_kp=None, dof_kd=None,
+            dof_lo=None, dof_hi=None, gravity=None):
         f32 = jnp.float32
+        bcast = lambda x, d: to_soa(
+            jnp.broadcast_to(x, (num_envs, d)).astype(f32), d
+        )
         args = [
             to_soa(q.astype(f32), nq),
             to_soa(qd.astype(f32), nv),
@@ -949,7 +1075,17 @@ def build_fused_substep(
         if wrench_mode:
             args.append(to_soa(body_wrench.reshape(num_envs, nb * 6).astype(f32), nb * 6))
         if fric_mode:
-            args.append(to_soa(jnp.broadcast_to(geom_fric, (num_envs, ng)).astype(f32), ng))
+            args.append(bcast(geom_fric, ng))
+        if mass_mode:
+            args.append(bcast(body_mass, nb))
+            args.append(bcast(geom_meff, ng))
+        if dof_mode:
+            args.append(bcast(dof_kp, nd))
+            args.append(bcast(dof_kd, nd))
+            args.append(bcast(dof_lo, nd))
+            args.append(bcast(dof_hi, nd))
+        if grav_mode:
+            args.append(bcast(gravity, 3))
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
