@@ -164,6 +164,9 @@ class AMPPPO(PPO):
 
     @partial(jax.jit, static_argnums=0)
     def _amp_update_jit(self, ts: AMPTrainState, batch):
+        return self._amp_update(ts, batch)
+
+    def _amp_update(self, ts: AMPTrainState, batch):
         H, N = batch["reward"].shape
         B = H * N
         amp_flat = batch["amp_obs"].reshape(B, self.amp_dim)
@@ -181,6 +184,13 @@ class AMPPPO(PPO):
         # ---- discriminator update ----
         key = ts.key
         key, k_demo, k_replay, k_mb = jax.random.split(key, 4)
+        if self.axis_name is not None:
+            # decorrelate demo/replay/minibatch sampling across shards (the
+            # carried key stays replicated; see parallel/trainer.py)
+            idx_ax = jax.lax.axis_index(self.axis_name)
+            k_demo = jax.random.fold_in(k_demo, idx_ax)
+            k_replay = jax.random.fold_in(k_replay, idx_ax)
+            k_mb = jax.random.fold_in(k_mb, idx_ax)
         amp_stats = (
             ts.amp_stats.update(amp_flat, self.axis_name)
             if self.normalize_amp
@@ -188,13 +198,16 @@ class AMPPPO(PPO):
         )
         n_mb = max(B // self.amp_minibatch_size, 1)
         mb = min(self.amp_minibatch_size, B)
+        # ring capacity from the runtime shape: under shard_map the replay is
+        # sharded over the env axis, so the local ring is cap/n_shards rows
+        cap = ts.replay.shape[0]
         demo = self.env.fetch_amp_obs_demo(k_demo, n_mb * mb)
         replay_idx = jax.random.randint(
             k_replay, (n_mb * mb,), 0, jnp.maximum(ts.replay_count, 1)
         )
         have_replay = ts.replay_count > 0
         replay_obs = jnp.where(
-            have_replay, ts.replay[replay_idx % self.replay_size], amp_flat[replay_idx % B]
+            have_replay, ts.replay[replay_idx % cap], amp_flat[replay_idx % B]
         )
         perm = jax.random.permutation(k_mb, B)[: n_mb * mb]
 
@@ -223,7 +236,6 @@ class AMPPPO(PPO):
         )
 
         # ---- store rollout amp obs into the ring replay ----
-        cap = self.replay_size
         start = ts.replay_count % cap
         idx = (start + jnp.arange(B)) % cap
         replay = ts.replay.at[idx].set(amp_flat)

@@ -145,6 +145,11 @@ class PPO:
                 optax.adam(float(cv_cfg.get("learning_rate", 1e-4)), eps=1e-8),
             )
         self._num_minibatches: Optional[int] = None
+        # single-device emulation of G env-shards for the distributed
+        # numerical-parity harness (tests/test_parallel_parity.py): with
+        # _perm_groups=G the minibatch partition matches DistributedPPO on a
+        # G-device mesh exactly, so params must agree to fp tolerance
+        self._perm_groups: int = 1
 
     @property
     def num_minibatches(self) -> int:
@@ -197,6 +202,56 @@ class PPO:
     def _pmean(self, x):
         return jax.lax.pmean(x, self.axis_name) if self.axis_name else x
 
+    def _policy_noise(self, k_act: jax.Array, mu: jnp.ndarray) -> jnp.ndarray:
+        """Exploration noise keyed per GLOBAL env index: each env's stream is
+        independent of how the batch is sharded over devices (under shard_map
+        the local block is offset by axis_index), unlike a single
+        `normal(k, mu.shape)` which would draw IDENTICAL noise on every shard
+        of a replicated key."""
+        n_loc = mu.shape[0]
+        ids = jnp.arange(n_loc)
+        if self.axis_name is not None:
+            ids = ids + jax.lax.axis_index(self.axis_name) * n_loc
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(k_act, ids)
+        return jax.vmap(
+            lambda k: jax.random.normal(k, mu.shape[1:], mu.dtype)
+        )(keys)
+
+    def _minibatch_perm(
+        self, k_perm: jax.Array, B: int, M: int, env_major: bool = False
+    ) -> jnp.ndarray:
+        """(M, mb) minibatch index partition of the local flat batch.
+
+        Under shard_map each shard permutes its local samples with a key
+        folded by its axis index; global minibatch k is the union of every
+        shard's chunk k (equal sizes, so the pmean of shard-local gradient
+        means equals the global minibatch mean exactly).  On one device with
+        `_perm_groups=G` the same partition is emulated by mapping each
+        group's local indices into the global flat layout — `env_major`
+        selects the flat order (PPO flattens (H, N) time-major: h*N + n;
+        LSTM flattens BPTT chunks env-major: n*C + c)."""
+        mb = B // M
+        if self.axis_name is not None:
+            k_perm = jax.random.fold_in(k_perm, jax.lax.axis_index(self.axis_name))
+            return jax.random.permutation(k_perm, B)[: M * mb].reshape(M, mb)
+        G = self._perm_groups
+        if G == 1:
+            return jax.random.permutation(k_perm, B)[: M * mb].reshape(M, mb)
+        Bl = B // G
+        mbl = Bl // M
+        N = self.env.num_envs
+        Nl = N // G
+        groups = []
+        for g in range(G):
+            p = jax.random.permutation(jax.random.fold_in(k_perm, g), Bl)
+            p = p[: M * mbl].reshape(M, mbl)
+            if env_major:
+                p = p + g * Bl
+            else:
+                p = (p // Nl) * N + g * Nl + (p % Nl)
+            groups.append(p)
+        return jnp.concatenate(groups, axis=1)  # (M, G*mbl)
+
     def _norm_obs(self, stats: RunningStats, obs):
         return stats.normalize(obs) if self.cfg.normalize_input else obs
 
@@ -230,7 +285,7 @@ class PPO:
                     ts.states_stats.normalize(states) if cfg.normalize_input else states
                 )
                 value_n = self.cv_network.apply(ts.cv_params, n_states)
-            action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
+            action = mu + jnp.exp(log_std) * self._policy_noise(k_act, mu)
             logp = networks.gaussian_logp(mu, log_std, action)
             value = ts.value_stats.denormalize(value_n) if cfg.normalize_value else value_n
 
@@ -412,7 +467,7 @@ class PPO:
         def epoch_step(carry, _):
             params, opt_state, lr, key = carry
             key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, B).reshape(self.num_minibatches, mb_size)
+            perm = self._minibatch_perm(k_perm, B, self.num_minibatches)
             (params, opt_state, lr, key), metrics = jax.lax.scan(
                 minibatch_step, (params, opt_state, lr, key), perm
             )
@@ -450,9 +505,7 @@ class PPO:
                 return (cv_params, cv_opt), vl
 
             def cv_epoch_step(carry, k_perm):
-                perm = jax.random.permutation(k_perm, B).reshape(
-                    self.num_minibatches, mb_size
-                )
+                perm = self._minibatch_perm(k_perm, B, self.num_minibatches)
                 return jax.lax.scan(cv_minibatch_step, carry, perm)
 
             key, k_cv = jax.random.split(ts.key)
@@ -533,8 +586,12 @@ class PPO:
         return ts
 
     # ------------------------------------------------------------------
-    def act(self, ts: TrainState, obs: jnp.ndarray, deterministic: bool = True):
-        """Inference policy (player path, ref: learning/common_player.py:54)."""
+    def act(self, ts: TrainState, obs: jnp.ndarray, deterministic: bool = True,
+            key: Optional[jax.Array] = None):
+        """Inference policy (player path, ref: learning/common_player.py:54).
+        deterministic=False samples from the gaussian (requires key)."""
         n_obs = self._norm_obs(ts.obs_stats, obs)
         mu, log_std, _ = self.network.apply(ts.params, n_obs)
-        return mu
+        if deterministic or key is None:
+            return mu
+        return mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape)

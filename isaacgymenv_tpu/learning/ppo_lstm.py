@@ -103,7 +103,7 @@ class LSTMPPO(PPO):
                     ts.states_stats.normalize(states) if cfg.normalize_input else states
                 )
                 value_n = self.cv_network.apply(ts.cv_params, n_states)
-            action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
+            action = mu + jnp.exp(log_std) * self._policy_noise(k_act, mu)
             logp = networks.gaussian_logp(mu, log_std, action)
             value = ts.value_stats.denormalize(value_n) if cfg.normalize_value else value_n
 
@@ -285,8 +285,8 @@ class LSTMPPO(PPO):
         def epoch_step(carry, _):
             params, opt_state, lr, key = carry
             key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, B)[: n_minibatches * mb_size]
-            perm = perm.reshape(n_minibatches, mb_size)
+            # BPTT samples are env-major (n*C + c) — see _minibatch_perm
+            perm = self._minibatch_perm(k_perm, B, n_minibatches, env_major=True)
             return jax.lax.scan(minibatch_step, (params, opt_state, lr, key), perm)
 
         (params, opt_state, lr, key), metrics = jax.lax.scan(
@@ -343,10 +343,8 @@ class LSTMPPO(PPO):
                 return (cv_params, cv_opt), vl
 
             def cv_epoch_step(carry, k_perm):
-                perm = jax.random.permutation(k_perm, BF)[: n_cv_mb * cv_mb]
-                return jax.lax.scan(
-                    cv_minibatch_step, carry, perm.reshape(n_cv_mb, cv_mb)
-                )
+                perm = self._minibatch_perm(k_perm, BF, n_cv_mb)
+                return jax.lax.scan(cv_minibatch_step, carry, perm)
 
             key, k_cv = jax.random.split(ts.key)
             (cv_params, cv_opt), cv_losses = jax.lax.scan(
@@ -367,13 +365,17 @@ class LSTMPPO(PPO):
         return ts, info
 
     # ------------------------------------------------------------------
-    def act(self, ts: LSTMTrainState, obs: jnp.ndarray, deterministic: bool = True):
+    def act(self, ts: LSTMTrainState, obs: jnp.ndarray, deterministic: bool = True,
+            key=None):
         n_obs = self._norm_obs(ts.obs_stats, obs)
         mu, _, _, rnn = self.network.apply(ts.params, n_obs, ts.rnn_state)
         # NOTE: stateful inference should thread rnn via act_with_state
         return mu
 
-    def act_with_state(self, ts: LSTMTrainState, obs: jnp.ndarray, rnn):
+    def act_with_state(self, ts: LSTMTrainState, obs: jnp.ndarray, rnn,
+                       deterministic: bool = True, key=None):
         n_obs = self._norm_obs(ts.obs_stats, obs)
-        mu, _, _, rnn = self.network.apply(ts.params, n_obs, rnn)
-        return mu, rnn
+        mu, log_std, _, rnn = self.network.apply(ts.params, n_obs, rnn)
+        if deterministic or key is None:
+            return mu, rnn
+        return mu + jnp.exp(log_std) * jax.random.normal(key, mu.shape), rnn

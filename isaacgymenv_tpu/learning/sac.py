@@ -63,9 +63,19 @@ class DoubleQ(nn.Module):
         return q("q1"), q("q2")
 
 
-def _sample_action(key, mu, log_std):
+def _per_env_normal(key, mu, offset=0):
+    """Gaussian noise keyed per (global) env index — independent of how the
+    batch is sharded over devices (see PPO._policy_noise)."""
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, offset + jnp.arange(mu.shape[0])
+    )
+    return jax.vmap(lambda k: jax.random.normal(k, mu.shape[1:], mu.dtype))(keys)
+
+
+def _sample_action(key, mu, log_std, eps=None):
     std = jnp.exp(log_std)
-    eps = jax.random.normal(key, mu.shape)
+    if eps is None:
+        eps = jax.random.normal(key, mu.shape)
     pre = mu + std * eps
     a = jnp.tanh(pre)
     # tanh-squashed gaussian log-prob
@@ -99,7 +109,10 @@ class SACState:
 
 
 class SAC:
-    def __init__(self, env: TaskEnv, train_cfg: Dict[str, Any]):
+    def __init__(self, env: TaskEnv, train_cfg: Dict[str, Any], axis_name=None):
+        # axis_name: mesh axis for data-parallel training inside shard_map
+        # (gradients/statistics pmean'd over it; None = single shard)
+        self.axis_name = axis_name
         self.env = env
         p = train_cfg["params"]
         net = p.get("network", {})
@@ -175,6 +188,14 @@ class SAC:
     def _norm(self, stats, obs):
         return stats.normalize(obs) if self.normalize_input else obs
 
+    def _pmean(self, x):
+        return jax.lax.pmean(x, self.axis_name) if self.axis_name else x
+
+    def _env_offset(self, n_loc):
+        if self.axis_name is None:
+            return 0
+        return jax.lax.axis_index(self.axis_name) * n_loc
+
     # ------------------------------------------------------------------
     def _collect(self, ts: SACState):
         """steps_per_epoch env steps -> ring buffer."""
@@ -184,9 +205,17 @@ class SAC:
             key, k_act = jax.random.split(key)
             n_obs = self._norm(ts.obs_stats, obs)
             mu, log_std = self.actor_net.apply(ts.actor, n_obs)
+            # per-global-env-keyed noise: shard-independent exploration
+            off = self._env_offset(mu.shape[0])
+            eps = _per_env_normal(k_act, mu, off)
+            a_pol, _ = _sample_action(k_act, mu, log_std, eps=eps)
             # random uniform actions during seed epochs (rl_games behavior)
-            a_pol, _ = _sample_action(k_act, mu, log_std)
-            a_rand = jax.random.uniform(k_act, mu.shape, minval=-1.0, maxval=1.0)
+            ukeys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.fold_in(k_act, 17), off + jnp.arange(mu.shape[0])
+            )
+            a_rand = jax.vmap(
+                lambda k: jax.random.uniform(k, mu.shape[1:], minval=-1.0, maxval=1.0)
+            )(ukeys)
             action = jnp.where(ts.epoch < self.num_seed_steps, a_rand, a_pol)
             env_state, obs_dict, rew_raw, done, extras = self.env.step(env_state, action)
             rew = rew_raw * self.reward_scale
@@ -210,29 +239,37 @@ class SAC:
         carry, batch = jax.lax.scan(step_fn, carry0, None, length=self.steps_per_epoch)
         env_state, last_obs, key, ep_ret, ep_len, m_ret, m_len = carry
 
-        # flatten (T, N, ...) -> (T*N, ...) and ring-write
-        B = self.steps_per_epoch * self.env.num_envs
-        idx = (ts.ptr + jnp.arange(B)) % self.capacity
+        # flatten (T, N, ...) -> (T*N, ...) and ring-write.  Capacity/batch
+        # come from runtime shapes: under shard_map the replay and env batch
+        # are the per-shard shards (ptr/size stay replicated because every
+        # shard writes the same LOCAL count each epoch)
+        B = self.steps_per_epoch * last_obs.shape[0]
+        cap = ts.replay["obs"].shape[0]
+        idx = (ts.ptr + jnp.arange(B)) % cap
         replay = dict(ts.replay)
         for k in replay:
             flat = batch[k].reshape((B,) + batch[k].shape[2:])
             replay[k] = replay[k].at[idx].set(flat)
         obs_stats = (
-            ts.obs_stats.update(batch["obs"].reshape(B, -1))
+            ts.obs_stats.update(batch["obs"].reshape(B, -1), self.axis_name)
             if self.normalize_input
             else ts.obs_stats
         )
         ts = ts.replace(
             env_state=env_state, last_obs=last_obs, key=key, replay=replay,
-            ptr=(ts.ptr + B) % self.capacity,
-            size=jnp.minimum(ts.size + B, self.capacity),
+            ptr=(ts.ptr + B) % cap,
+            size=jnp.minimum(ts.size + B, cap),
             obs_stats=obs_stats,
-            ep_return=ep_ret, ep_length=ep_len, mean_return=m_ret, mean_length=m_len,
+            ep_return=ep_ret, ep_length=ep_len,
+            mean_return=self._pmean(m_ret), mean_length=self._pmean(m_len),
         )
         return ts
 
     # ------------------------------------------------------------------
     def _update_once(self, ts: SACState, key):
+        if self.axis_name is not None:
+            # shard-local minibatch sampling from the local replay shard
+            key = jax.random.fold_in(key, jax.lax.axis_index(self.axis_name))
         k_samp, k_next, k_cur = jax.random.split(key, 3)
         idx = jax.random.randint(k_samp, (self.batch_size,), 0, jnp.maximum(ts.size, 1))
         mb = {k: v[idx] for k, v in ts.replay.items()}
@@ -253,6 +290,8 @@ class SAC:
             return ((q1 - target) ** 2).mean() + ((q2 - target) ** 2).mean()
 
         c_loss, c_grads = jax.value_and_grad(critic_loss)(ts.critic)
+        c_grads = self._pmean(c_grads)
+        c_loss = self._pmean(c_loss)
         c_updates, opt_critic = self.tx_critic.update(c_grads, ts.opt_critic)
         critic = optax.apply_updates(ts.critic, c_updates)
 
@@ -263,6 +302,8 @@ class SAC:
             return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
 
         (a_loss, logp), a_grads = jax.value_and_grad(actor_loss, has_aux=True)(ts.actor)
+        a_grads = self._pmean(a_grads)
+        a_loss = self._pmean(a_loss)
         a_updates, opt_actor = self.tx_actor.update(a_grads, ts.opt_actor)
         actor = optax.apply_updates(ts.actor, a_updates)
 
@@ -271,6 +312,7 @@ class SAC:
                 return (jnp.exp(la) * jax.lax.stop_gradient(-logp - self.target_entropy)).mean()
 
             al_loss, al_grad = jax.value_and_grad(alpha_loss)(ts.log_alpha)
+            al_grad = self._pmean(al_grad)
             al_updates, opt_alpha = self.tx_alpha.update(al_grad, ts.opt_alpha)
             log_alpha = optax.apply_updates(ts.log_alpha, al_updates)
         else:
@@ -300,6 +342,9 @@ class SAC:
 
     @partial(jax.jit, static_argnums=0)
     def _update_epoch_jit(self, ts: SACState):
+        return self._update_epoch(ts)
+
+    def _update_epoch(self, ts: SACState):
         def upd(ts, key):
             return self._update_once(ts, key)
 
@@ -342,7 +387,10 @@ class SAC:
                 )
         return ts
 
-    def act(self, ts: SACState, obs, deterministic: bool = True):
+    def act(self, ts: SACState, obs, deterministic: bool = True, key=None):
         """Inference policy (player path parity)."""
-        mu, _ = self.actor_net.apply(ts.actor, self._norm(ts.obs_stats, obs))
-        return jnp.tanh(mu)
+        mu, log_std = self.actor_net.apply(ts.actor, self._norm(ts.obs_stats, obs))
+        if deterministic or key is None:
+            return jnp.tanh(mu)
+        a, _ = _sample_action(key, mu, log_std)
+        return a

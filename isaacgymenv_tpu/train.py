@@ -14,11 +14,25 @@ import time
 
 
 def main(argv=None):
+    # honor an explicit JAX_PLATFORMS even when a sitecustomize has already
+    # pinned a platform list via jax.config (the env var alone is ignored
+    # once a config update ran; this re-asserts the user's choice)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     argv = list(sys.argv[1:] if argv is None else argv)
-    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    # hydra-style "++key=value" force-adds: strip the +/++ prefix so markers
+    # like ++pbt_restart=True (appended by the PBT self-restart CLI) resolve
+    kv = dict(
+        (a.split("=", 1)[0].lstrip("+"), a.split("=", 1)[1])
+        for a in argv if "=" in a
+    )
 
     task = kv.pop("task", "Cartpole")
     seed = int(kv.pop("seed", 42))
+    if seed < 0:  # seed=-1 = random seed (ref: utils/utils.py set_seed)
+        seed = int.from_bytes(os.urandom(4), "little") % (2**31)
     test = kv.pop("test", "False").lower() in ("true", "1")
     checkpoint = kv.pop("checkpoint", "")
     max_iterations = kv.pop("max_iterations", "")
@@ -27,7 +41,25 @@ def main(argv=None):
     headless = kv.pop("headless", "True")  # accepted for CLI parity; no viewer
     train_name = kv.pop("train", "")
     pbt_name = kv.pop("pbt", "")
-    kv.pop("pbt_restart", None)  # marker set by PBT self-restart
+    # marker set by PBT self-restart: the restart CLI carries mutated
+    # hyperparams that must override the checkpoint's saved values
+    pbt_restart = kv.pop("pbt_restart", "False").lower() in ("true", "1")
+    # multi_gpu=True|False|auto (ref: train.py:120, README.md:167-172):
+    # auto shards the env axis over every visible device when >1
+    multi_gpu = kv.pop("multi_gpu", "auto").lower()
+
+    # multi-host entry (the torchrun equivalent): one process per host joins
+    # the global JAX runtime before any backend query.  Triggered by the
+    # standard coordinator env vars or Slurm multi-task launches
+    # (ref: SURVEY.md §5.8; pbt/launcher_slurm.py)
+    if (
+        os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+    ):
+        import jax
+
+        jax.distributed.initialize()
 
     from isaacgymenv_tpu.envs import registry
     from isaacgymenv_tpu.learning.checkpoint import load_train_state, save_train_state
@@ -41,9 +73,11 @@ def main(argv=None):
     task_cfg = load_task_config(task)
     train_cfg = load_train_config(task, train_name or None)
     # route remaining dotted overrides: 'train.*' to train cfg, rest to task cfg
+    # reference-CLI-style "task.env.X=..." addresses the task cfg subtree;
+    # bare "env.X=..." is equivalent (our task cfg root IS the task yaml)
     task_overrides = [
-        f"{k}={v}" for k, v in kv.items()
-        if not k.startswith("train.") and not k.startswith("pbt.")
+        f"{k[5:] if k.startswith('task.') else k}={v}" for k, v in kv.items()
+        if not k.startswith(("train.", "pbt.", "wandb"))
     ]
     train_overrides = [f"{k[6:]}={v}" for k, v in kv.items() if k.startswith("train.")]
     apply_cli_overrides(task_cfg, task_overrides)
@@ -58,24 +92,71 @@ def main(argv=None):
         pbt_cfg = load_yaml(os.path.join(CFG_ROOT, "pbt", f"{pbt_name}.yaml"))
     pbt_overrides = [f"{k[4:]}={v}" for k, v in kv.items() if k.startswith("pbt.")]
     apply_cli_overrides(pbt_cfg, pbt_overrides)
+    if pbt_cfg.get("mutation_scheme"):
+        # pbt.mutation_scheme=<name> selects cfg/pbt/mutation/<name>.yaml
+        # (the reference's `pbt/mutation=<name>` hydra group)
+        from isaacgymenv_tpu.utils.config import CFG_ROOT as _CR, load_yaml as _ly
+
+        pbt_cfg["mutation"] = _ly(
+            os.path.join(_CR, "pbt", "mutation", f"{pbt_cfg['mutation_scheme']}.yaml")
+        )
     if num_envs:
         task_cfg["env"]["numEnvs"] = int(num_envs)
 
     env_cls = registry.get_task(task)
     env = env_cls(task_cfg)
     algo = train_cfg["params"].get("algo", {}).get("name", "a2c_continuous")
+
+    # data-parallel over all devices: shard the env axis, pmean gradients
+    # (the reference's multi_gpu torchrun path, SPMD-style)
+    import jax
+
+    n_dev = len(jax.devices())
+    use_dist = (
+        not test
+        and (multi_gpu in ("true", "1") or (multi_gpu == "auto" and n_dev > 1))
+        and env.num_envs % max(n_dev, 1) == 0
+        and n_dev > 1
+    )
+    mesh = None
+    if use_dist:
+        from isaacgymenv_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"multi-chip: sharding {env.num_envs} envs over {n_dev} devices")
+
+    is_rnn = "rnn" in train_cfg["params"].get("network", {})
     if algo == "amp_continuous":
-        from isaacgymenv_tpu.learning.amp import AMPPPO
+        if use_dist:
+            from isaacgymenv_tpu.parallel.trainer import DistributedAMPPPO
 
-        agent = AMPPPO(env, train_cfg)
-    elif "rnn" in train_cfg["params"].get("network", {}):
-        from isaacgymenv_tpu.learning.ppo_lstm import LSTMPPO
+            agent = DistributedAMPPPO(env, train_cfg, mesh)
+        else:
+            from isaacgymenv_tpu.learning.amp import AMPPPO
 
-        agent = LSTMPPO(env, train_cfg)
+            agent = AMPPPO(env, train_cfg)
+    elif is_rnn:
+        if use_dist:
+            from isaacgymenv_tpu.parallel.trainer import DistributedLSTMPPO
+
+            agent = DistributedLSTMPPO(env, train_cfg, mesh)
+        else:
+            from isaacgymenv_tpu.learning.ppo_lstm import LSTMPPO
+
+            agent = LSTMPPO(env, train_cfg)
     elif algo == "sac":
-        from isaacgymenv_tpu.learning.sac import SAC
+        if use_dist:
+            from isaacgymenv_tpu.parallel.trainer import DistributedSAC
 
-        agent = SAC(env, train_cfg)
+            agent = DistributedSAC(env, train_cfg, mesh)
+        else:
+            from isaacgymenv_tpu.learning.sac import SAC
+
+            agent = SAC(env, train_cfg)
+    elif use_dist:
+        from isaacgymenv_tpu.parallel.trainer import DistributedPPO
+
+        agent = DistributedPPO(env, train_cfg, mesh)
     else:
         agent = PPO(env, train_cfg)
 
@@ -83,19 +164,21 @@ def main(argv=None):
     os.makedirs(os.path.join(run_dir, "nn"), exist_ok=True)
 
     if test:
-        import jax.numpy as jnp
-        import numpy as np
+        # real player loop: per-episode returns/lengths on done indices,
+        # games_num budget, deterministic flag, RNN zeroing on done
+        # (ref: learning/common_player.py:54-152)
+        from isaacgymenv_tpu.learning.player import run_player
 
         ts = load_train_state(agent, checkpoint)
         venv = env.as_vec_env(seed=seed)
-        obs = venv.reset()
-        total, count = 0.0, 0
-        for _ in range(int(max_iterations) if max_iterations else 300):
-            act = agent.act(ts, obs["obs"])
-            obs, rew, done, extras = venv.step(act)
-            total += float(rew.sum())
-            count += env.num_envs
-        print(f"av reward per step: {total / max(count,1):.3f}")
+        games_num = int(kv.pop("games_num", 64))
+        deterministic = kv.pop("deterministic", "True").lower() in ("true", "1")
+        run_player(
+            agent, ts, venv,
+            games_num=games_num,
+            max_steps=int(max_iterations) if max_iterations else 100_000,
+            deterministic=deterministic,
+        )
         return
 
     epochs = int(max_iterations) if max_iterations else None
@@ -104,6 +187,21 @@ def main(argv=None):
     init_ts = None
     if checkpoint:
         init_ts = load_train_state(agent, checkpoint)
+        if use_dist:
+            init_ts = agent.shard_state(init_ts)
+        if pbt_restart and hasattr(init_ts, "lr"):
+            # PBT mutated learning_rate arrives via CLI but the checkpoint
+            # carries the donor's working LR (ts.lr is what the adaptive
+            # schedule reads) — re-seed it from the mutated config so the
+            # mutation actually takes effect
+            import jax.numpy as jnp
+
+            new_lr = jnp.asarray(agent.cfg.learning_rate, jnp.float32)
+            init_ts = init_ts.replace(lr=new_lr)
+            try:  # optax inject_hyperparams state (see ppo._update)
+                init_ts.opt_state[1].hyperparams["learning_rate"] = new_lr
+            except (AttributeError, IndexError, KeyError, TypeError):
+                pass
 
     # observers: TensorBoard/CSV summaries + optional W&B (ref §5.5;
     # replaces the reference's RLGPUAlgoObserver + missing wandb_utils)
@@ -131,15 +229,36 @@ def main(argv=None):
         ep, (ep + 1) * steps_per_epoch_obs, jax.device_get(info)
     )
 
-    callback = obs_callback
+    # periodic + best-by-objective checkpoints during training (ref:
+    # common_agent.py:171-177, cfg/train/AnymalPPO.yaml save_frequency /
+    # save_best_after): a run that dies at epoch N-1 resumes from the last
+    # periodic snapshot instead of losing everything
+    tc = train_cfg["params"].get("config", {})
+    save_frequency = int(tc.get("save_frequency", 0) or 0)
+    save_best_after = int(tc.get("save_best_after", 100) or 100)
+    best_state = {"return": float("-inf")}
+
+    def save_callback(ep, ts, info):
+        if save_frequency and (ep + 1) % save_frequency == 0:
+            save_train_state(ts, os.path.join(run_dir, "nn", f"last_{experiment}.ckpt"))
+        r = float(info.get("mean_return", 0.0))
+        if ep >= save_best_after and r > best_state["return"]:
+            best_state["return"] = r
+            save_train_state(ts, os.path.join(run_dir, "nn", f"{experiment}_best.ckpt"))
+
+    def callback(ep, ts, info):
+        obs_callback(ep, ts, info)
+        save_callback(ep, ts, info)
+
     if pbt_cfg.get("enabled"):
         from isaacgymenv_tpu.pbt.pbt import PbtObserver, PbtParams
 
-        pbt_params = PbtParams(pbt_cfg, train_cfg)
+        pbt_params = PbtParams(pbt_cfg, train_cfg, task_cfg)
         pbt_observer = PbtObserver(pbt_params, steps_per_epoch_obs)
 
         def callback(ep, ts, info):
             obs_callback(ep, ts, info)
+            save_callback(ep, ts, info)
             obj = float(
                 info.get("true_objective", info.get("mean_return", 0.0))
             )
