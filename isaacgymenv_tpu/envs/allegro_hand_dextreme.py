@@ -342,6 +342,18 @@ class AllegroHandDextremeManualDR(AllegroHand):
         )
         return pieces
 
+    @property
+    def obs_dims(self):
+        """Per-key observation dims, fixed reference order
+        (ref: get_num_obs_dict; adr_vec_task.py obs_dims -> buffers)."""
+        return dict(self.OBS_KEYS)
+
+    def _obs_named(self, state, actions):
+        """The dict-obs surface: every OBS_KEYS entry incl. the
+        `*_randomized` noised duplicates (ref: adr_vec_task.py:143-220)."""
+        pieces = self._obs_dict(state, actions)
+        return {k: pieces[k] for k, _ in self.OBS_KEYS if k in pieces}
+
     def _observations(self, state, actions):
         pieces = self._obs_dict(state, actions)
         return jnp.concatenate([pieces[k] for k, _ in self.ACTOR_KEYS], axis=-1)
@@ -496,6 +508,43 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
         ts["adr_values"] = st.values
         ts["adr_npd"] = st.npd
         return ts
+
+    # -- env-state checkpoint surface (ref: adr_vec_task.py:368-399
+    # get_env_state/set_env_state persist ADR ranges keyed by param name) --
+    def get_env_state(self, state):
+        ts = state.ts
+        ranges = np.asarray(ts["adr_ranges"])
+        return {
+            "adr_params": {
+                name: {"range": ranges[self._pidx[name]].tolist()}
+                for name in self.adr.names
+            },
+            "adr_worker_types": np.asarray(ts["adr_worker_types"]),
+            "adr_modes": np.asarray(ts["adr_modes"]),
+            "adr_values": np.asarray(ts["adr_values"]),
+            "adr_queue_sum": np.asarray(ts["adr_qsum"]),
+            "adr_queue_count": np.asarray(ts["adr_qcnt"]),
+            "adr_npd": np.asarray(ts["adr_npd"]),
+        }
+
+    def set_env_state(self, state, env_state_dict):
+        if not env_state_dict:
+            return state
+        ts = dict(state.ts)
+        d = env_state_dict
+        ranges = np.asarray(jax.device_get(ts["adr_ranges"])).copy()
+        for name, spec in d.get("adr_params", {}).items():
+            if name in self._pidx and "range" in spec:
+                ranges[self._pidx[name]] = np.asarray(spec["range"])
+        ts["adr_ranges"] = jnp.asarray(ranges)
+        for src, dst in [
+            ("adr_worker_types", "adr_worker_types"), ("adr_modes", "adr_modes"),
+            ("adr_values", "adr_values"), ("adr_queue_sum", "adr_qsum"),
+            ("adr_queue_count", "adr_qcnt"), ("adr_npd", "adr_npd"),
+        ]:
+            if src in d:
+                ts[dst] = jnp.asarray(d[src])
+        return state.replace(ts=ts)
 
     def _adr_val(self, ts, name):
         return ts["adr_values"][:, self._pidx[name]]

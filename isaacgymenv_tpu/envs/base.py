@@ -135,6 +135,22 @@ class TaskEnv(abc.ABC):
         """Initial task-specific state arrays."""
         return {}
 
+    def _obs_named(self, state: EnvState, actions: jnp.ndarray):
+        """Optional per-key observation dict (the DeXtreme dict-obs fork's
+        surface, ref: adr_vec_task.py:143-220 obs_dims -> per-key buffers
+        incl. `*_randomized` noised duplicates).  None for flat-obs tasks.
+        When provided, step() attaches it as obs_dict["obs_dict"]; unused
+        entries are dead-code-eliminated by XLA inside training jits."""
+        return None
+
+    # env-state checkpoint hooks (ref: vec_task.py:196-204 get/set_env_state;
+    # DeXtreme persists ADR ranges through these, adr_vec_task.py:368-399)
+    def get_env_state(self, state: EnvState):
+        return None
+
+    def set_env_state(self, state: EnvState, env_state_dict) -> EnvState:
+        return state
+
     def _do_reset(self, state: EnvState, mask: jnp.ndarray, key: jax.Array) -> EnvState:
         """Task reset + frequency-gated DR re-roll (vec_task.py:619-638)."""
         state = self._reset_envs(state, mask, key)
@@ -250,6 +266,12 @@ class TaskEnv(abc.ABC):
         states = self._states(state, obs)
         if states is not None:
             obs_dict["states"] = jnp.clip(states, -self.clip_obs, self.clip_obs)
+        named = self._obs_named(state, actions)
+        if named is not None:
+            obs_dict["obs_dict"] = {
+                k: jnp.clip(v, -self.clip_obs, self.clip_obs)
+                for k, v in named.items()
+            }
 
         extras = {"time_outs": timeout, **info}
         return state, obs_dict, rew, done, extras
@@ -332,6 +354,30 @@ class VecEnv:
             self.reset()
         self._state, obs, rew, done, extras = self._step_fn(self._state, actions)
         return obs, rew, done, extras
+
+    def reset_done(self):
+        """Reset only the envs flagged done by the last step; returns
+        (obs_dict, done_env_ids) — the player-path API
+        (ref: vec_task.py:440-455, common_player.py:93-120)."""
+        import numpy as np
+
+        if self._state is None:
+            obs = self.reset()
+            return obs, np.arange(self.task.num_envs)
+        mask = self._state.reset
+        done_ids = np.nonzero(np.asarray(mask))[0]
+        if done_ids.size:
+            self._key, k = jax.random.split(self._key)
+            state = self.task._do_reset(self._state, mask, k)
+            state = state.replace(
+                sim=engine.forward(
+                    self.task._model_for(state), self.task.terrain, state.sim
+                ),
+                reset=jnp.zeros_like(mask),
+                progress=jnp.where(mask, 0, state.progress),
+            )
+            self._state = state
+        return self.task.observations(self._state), done_ids
 
     @property
     def state(self) -> EnvState:

@@ -29,6 +29,31 @@ def task_names():
     return sorted(_REGISTRY)
 
 
+def _resolve_allegro_kuka(cfg):
+    """Dispatch by cfg env.subtask (ref: tasks/__init__.py:62-75)."""
+    sub = str(cfg.get("env", {}).get("subtask", "") or "reorientation")
+    names = {
+        "reorientation": "AllegroKukaReorientation",
+        "regrasping": "AllegroKukaRegrasping",
+        "throw": "AllegroKukaThrow",
+    }
+    if sub not in names:
+        raise ValueError(f"Unknown subtask={sub!r} in {sorted(names)}")
+    return get_task(names[sub])(cfg)
+
+
+def _resolve_allegro_kuka_two_arms(cfg):
+    """Dispatch by cfg env.subtask (ref: tasks/__init__.py:77-86)."""
+    sub = str(cfg.get("env", {}).get("subtask", "") or "reorientation")
+    names = {
+        "reorientation": "AllegroKukaTwoArmsReorientation",
+        "regrasping": "AllegroKukaTwoArmsRegrasping",
+    }
+    if sub not in names:
+        raise ValueError(f"Unknown subtask={sub!r} in {sorted(names)}")
+    return get_task(names[sub])(cfg)
+
+
 def _import_all():
     import importlib
 
@@ -38,6 +63,9 @@ def _import_all():
             _REGISTRY.setdefault(name, getattr(m, cls))
         except (ImportError, AttributeError):
             pass
+    # cfg-dependent resolvers (factory callables, constructor-compatible)
+    _REGISTRY["AllegroKuka"] = _resolve_allegro_kuka
+    _REGISTRY["AllegroKukaTwoArms"] = _resolve_allegro_kuka_two_arms
 
 
 # (module, class, registry name) — mirrors isaacgym_task_map
@@ -67,12 +95,10 @@ _TASKS = [
     ("allegro_kuka", "AllegroKukaReorientation", "AllegroKukaReorientation"),
     ("allegro_kuka", "AllegroKukaRegrasping", "AllegroKukaRegrasping"),
     ("allegro_kuka", "AllegroKukaThrow", "AllegroKukaThrow"),
-    # reference name "AllegroKuka" resolves by cfg env.subtask
-    # (ref: tasks/__init__.py:62-86); default = reorientation
-    ("allegro_kuka", "AllegroKukaReorientation", "AllegroKuka"),
+    # "AllegroKuka"/"AllegroKukaTwoArms" resolve by cfg env.subtask via the
+    # factory callables installed in _import_all (ref: tasks/__init__.py:62-86)
     ("allegro_kuka_two_arms", "AllegroKukaTwoArmsReorientation", "AllegroKukaTwoArmsReorientation"),
     ("allegro_kuka_two_arms", "AllegroKukaTwoArmsRegrasping", "AllegroKukaTwoArmsRegrasping"),
-    ("allegro_kuka_two_arms", "AllegroKukaTwoArmsReorientation", "AllegroKukaTwoArms"),
     ("factory_nut_bolt_pick", "FactoryTaskNutBoltPick", "FactoryTaskNutBoltPick"),
     ("factory_nut_bolt_place", "FactoryTaskNutBoltPlace", "FactoryTaskNutBoltPlace"),
     ("factory_nut_bolt_screw", "FactoryTaskNutBoltScrew", "FactoryTaskNutBoltScrew"),

@@ -85,3 +85,44 @@ def test_adr_update_is_jittable():
     f = jax.jit(lambda s, d, o: adr.on_reset(jax.random.PRNGKey(1), s, d, o))
     st2 = f(st, jnp.ones(64, bool), jnp.zeros(64))
     assert np.isfinite(np.asarray(st2.ranges)).all()
+
+
+def test_dextreme_dict_obs_surface_and_adr_env_state_roundtrip():
+    """The DeXtreme dict-obs surface exposes every per-key buffer incl. the
+    `*_randomized` duplicates (ref: adr_vec_task.py:143-220), and the ADR
+    env-state dict round-trips through get/set_env_state keyed like the
+    reference checkpoint (ref: adr_vec_task.py:368-399)."""
+    import jax.numpy as jnp
+
+    from isaacgymenv_tpu.api import make
+
+    env = make(seed=0, task="AllegroHandDextremeADR", num_envs=4)
+    task = env.task
+    env.reset()
+    obs, rew, done, ex = env.step(jnp.zeros((4, 16)))
+    assert "obs_dict" in obs
+    dims = task.obs_dims
+    for k, d in dims.items():
+        assert k in obs["obs_dict"], f"missing dict-obs key {k}"
+        assert obs["obs_dict"][k].shape == (4, d), (k, obs["obs_dict"][k].shape)
+    # noised duplicates present and (generically) different from the raw key
+    assert "dof_pos_randomized" in obs["obs_dict"]
+
+    # ADR env-state roundtrip
+    st = env.state
+    d = task.get_env_state(st)
+    assert set(d["adr_params"]) == set(task.adr.names)
+    import numpy as np
+
+    d2 = {k: (v.copy() if hasattr(v, "copy") else v) for k, v in d.items()}
+    name0 = task.adr.names[0]
+    d2["adr_params"] = dict(d["adr_params"])
+    d2["adr_params"][name0] = {"range": [0.123, 0.456]}
+    st2 = task.set_env_state(st, d2)
+    back = task.get_env_state(st2)
+    np.testing.assert_allclose(back["adr_params"][name0]["range"], [0.123, 0.456])
+    # untouched params keep their ranges
+    for n in task.adr.names[1:]:
+        np.testing.assert_allclose(
+            back["adr_params"][n]["range"], d["adr_params"][n]["range"]
+        )

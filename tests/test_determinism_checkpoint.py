@@ -65,3 +65,34 @@ def test_checkpoint_roundtrip_resumes_training(tmp_path):
         for a, b in zip(jax.tree.leaves(ts2.params), jax.tree.leaves(ts3.params))
     )
     assert changed
+
+
+def test_checkpoint_validation_rejects_mismatched_network(tmp_path):
+    """Loading a checkpoint saved by a differently-sized network fails AT THE
+    BOUNDARY with a clear error (not deep inside jax)."""
+    import pytest
+
+    from isaacgymenv_tpu.envs.registry import get_task
+    from isaacgymenv_tpu.learning.checkpoint import load_train_state, save_train_state
+    from isaacgymenv_tpu.learning.ppo import PPO
+    from isaacgymenv_tpu.utils.config import load_task_config, load_train_config
+
+    cfg = load_task_config("Cartpole", num_envs=8)
+    env = get_task("Cartpole")(cfg)
+    tcfg = load_train_config("Cartpole")
+    tcfg["params"]["config"].update(horizon_length=8, minibatch_size=64)
+    tcfg["params"]["network"]["mlp"] = {"units": [16], "activation": "elu"}
+    small = PPO(env, tcfg)
+    path = str(tmp_path / "small.ckpt")
+    save_train_state(small.init(0), path)
+
+    import copy
+
+    tcfg2 = copy.deepcopy(tcfg)
+    tcfg2["params"]["network"]["mlp"] = {"units": [32, 32], "activation": "elu"}
+    big = PPO(env, tcfg2)
+    with pytest.raises(ValueError, match="params"):
+        load_train_state(big, path)
+    # same-config load still works
+    ts = load_train_state(small, path)
+    assert ts is not None

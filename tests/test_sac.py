@@ -27,3 +27,6 @@ def test_sac_learns_cartpole():
     last = float(ts.mean_return)
     assert np.isfinite(float(info["c_loss"]))
     assert last > first, f"no SAC improvement: {first} -> {last}"
+    # absolute learning bar (like test_ppo's >15): Cartpole returns reach
+    # well above this within 120 epochs when SAC actually learns
+    assert last > 10.0, f"SAC should reach return > 10 on Cartpole, got {last}"

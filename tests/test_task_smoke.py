@@ -15,9 +15,9 @@ from isaacgymenv_tpu.envs import registry
 from isaacgymenv_tpu.utils.config import CFG_ROOT
 
 
-# one task per family keeps the default suite under ~15 min (each task's
-# first build compiles its whole step); ISAACGYMENV_TPU_SMOKE_ALL=1 runs the
-# full registry (nightly / pre-release)
+# the FULL registry is smoked by default (every registered task with a
+# shipped config steps in CI); ISAACGYMENV_TPU_SMOKE_FAST=1 restricts to one
+# task per family for quick local iteration
 _REPRESENTATIVE = {
     "Cartpole", "Ant", "Anymal", "AnymalTerrain", "Houndarm", "UsefulHound",
     "BallBalance", "Quadcopter", "ShadowHand", "FrankaCubeStack",
@@ -28,9 +28,9 @@ _REPRESENTATIVE = {
 
 def _available_tasks():
     names = []
-    run_all = os.environ.get("ISAACGYMENV_TPU_SMOKE_ALL", "") == "1"
+    fast = os.environ.get("ISAACGYMENV_TPU_SMOKE_FAST", "") == "1"
     for n in registry.task_names():
-        if not run_all and n not in _REPRESENTATIVE:
+        if fast and n not in _REPRESENTATIVE:
             continue
         if os.path.exists(os.path.join(CFG_ROOT, "task", f"{n}.yaml")):
             names.append(n)
@@ -64,3 +64,33 @@ def test_task_steps(task):
         assert "time_outs" in extras
     assert np.all(np.isfinite(np.asarray(obs["obs"]))), f"{task}: non-finite obs"
     assert np.all(np.isfinite(np.asarray(rew))), f"{task}: non-finite reward"
+
+
+@pytest.mark.parametrize(
+    "name,subtask,expected",
+    [
+        ("AllegroKuka", "reorientation", "AllegroKukaReorientation"),
+        ("AllegroKuka", "regrasping", "AllegroKukaRegrasping"),
+        ("AllegroKuka", "throw", "AllegroKukaThrow"),
+        ("AllegroKukaTwoArms", "reorientation", "AllegroKukaTwoArmsReorientation"),
+        ("AllegroKukaTwoArms", "regrasping", "AllegroKukaTwoArmsRegrasping"),
+    ],
+)
+def test_allegro_kuka_subtask_resolution(name, subtask, expected):
+    """'AllegroKuka'/'AllegroKukaTwoArms' dispatch on cfg env.subtask
+    (ref: tasks/__init__.py:62-86)."""
+    from isaacgymenv_tpu.utils.config import load_task_config
+
+    cfg = load_task_config(name, num_envs=2)
+    cfg["env"]["subtask"] = subtask
+    env = registry.get_task(name)(cfg)
+    assert type(env).__name__ == expected
+
+
+def test_allegro_kuka_unknown_subtask_raises():
+    from isaacgymenv_tpu.utils.config import load_task_config
+
+    cfg = load_task_config("AllegroKuka", num_envs=2)
+    cfg["env"]["subtask"] = "juggling"
+    with pytest.raises(ValueError, match="subtask"):
+        registry.get_task("AllegroKuka")(cfg)
