@@ -41,7 +41,7 @@ def _model_name(iteration: int) -> str:
 
 
 class PbtParams:
-    def __init__(self, pbt_cfg: Dict, train_cfg: Dict):
+    def __init__(self, pbt_cfg: Dict, train_cfg: Dict, task_cfg: Optional[Dict] = None):
         self.enabled = bool(pbt_cfg.get("enabled", False))
         self.policy_idx = int(pbt_cfg.get("policy_idx", 0))
         self.num_policies = int(pbt_cfg.get("num_policies", 8))
@@ -57,14 +57,22 @@ class PbtParams:
         self.change_min = float(pbt_cfg.get("change_min", 1.1))
         self.change_max = float(pbt_cfg.get("change_max", 1.5))
         self.dbg_mode = bool(pbt_cfg.get("dbg_mode", False))
-        # mutation spec: {dotted train-cfg param: mutation func name}
+        # mutation spec: {dotted param: mutation func name}.  Keys use full
+        # CLI paths like the reference mutation yamls ("train.params.config.
+        # gamma", "task.env.headingWeight" — cfg/pbt/mutation/*.yaml); bare
+        # "config.*" keys are accepted as train.params-relative legacy.
         self.mutations: Dict[str, str] = dict(pbt_cfg.get("mutation", {}))
-        # current values of mutable params, read from the train cfg
-        c = train_cfg["params"]["config"]
         self.mutable_params = {}
         for dotted in self.mutations:
-            node = train_cfg["params"]
-            for k in dotted.split("."):
+            if dotted.startswith("train."):
+                node, path = train_cfg, dotted[len("train."):]
+            elif dotted.startswith("task."):
+                if task_cfg is None:
+                    raise ValueError(f"mutation key {dotted!r} needs the task cfg")
+                node, path = task_cfg, dotted[len("task."):]
+            else:
+                node, path = train_cfg["params"], dotted
+            for k in path.split("."):
                 node = node[k]
             self.mutable_params[dotted] = node
 
@@ -93,7 +101,12 @@ def restart_with_new_params(
     if restart_checkpoint:
         modified.append(f"checkpoint={restart_checkpoint}")
     for param, value in new_params.items():
-        modified.append(f"train.params.{param}={value}")
+        # full-path keys (train.*/task.*) route through the CLI override
+        # machinery directly; legacy bare keys are train.params-relative
+        if param.startswith(("train.", "task.")):
+            modified.append(f"{param}={value}")
+        else:
+            modified.append(f"train.params.{param}={value}")
     print(f"Policy {policy_idx}: restarting self with args {modified}", flush=True)
     os.execv(sys.executable, [sys.executable, "-m", "isaacgymenv_tpu.train"] + modified)
 

@@ -144,3 +144,74 @@ def test_slurm_launcher_generates_scripts(tmp_path):
         "--workdir", str(tmp_path), "--print_only", "--", "task=Ant",
     ])
     assert (tmp_path / "train.sbatch").exists()
+
+
+def test_mutation_full_path_keys_resolve_task_and_train():
+    """Reference-style mutation keys ('train.params.config.*', 'task.env.*')
+    resolve against the right config trees (ref: cfg/pbt/mutation/*.yaml)."""
+    from isaacgymenv_tpu.pbt.pbt import PbtParams
+
+    train_cfg = {"params": {"config": {"gamma": 0.99, "learning_rate": 3e-4}}}
+    task_cfg = {"env": {"headingWeight": 0.5}}
+    pbt_cfg = {
+        "enabled": True,
+        "mutation": {
+            "train.params.config.gamma": "mutate_discount",
+            "task.env.headingWeight": "mutate_float",
+            "config.learning_rate": "mutate_float",  # legacy relative key
+        },
+    }
+    p = PbtParams(pbt_cfg, train_cfg, task_cfg)
+    assert p.mutable_params["train.params.config.gamma"] == 0.99
+    assert p.mutable_params["task.env.headingWeight"] == 0.5
+    assert p.mutable_params["config.learning_rate"] == 3e-4
+
+
+def test_restart_cli_routes_full_path_params(monkeypatch):
+    from isaacgymenv_tpu.pbt import pbt as P
+
+    captured = {}
+    monkeypatch.setattr(P.os, "execv", lambda exe, argv: captured.update(argv=argv))
+    monkeypatch.setattr(
+        P.sys, "argv", ["train.py", "task=Ant", "train.params.config.gamma=0.99"]
+    )
+    P.restart_with_new_params(
+        0,
+        {"train.params.config.gamma": 0.95, "task.env.headingWeight": 0.7,
+         "config.learning_rate": 1e-3},
+        "/tmp/x.ckpt",
+    )
+    argv = captured["argv"]
+    assert "train.params.config.gamma=0.95" in argv
+    assert "task.env.headingWeight=0.7" in argv
+    assert "train.params.config.learning_rate=0.001" in argv
+    assert "++pbt_restart=True" in argv
+
+
+def test_mutation_scheme_yamls_parse():
+    import yaml as _y
+
+    from isaacgymenv_tpu.utils.config import CFG_ROOT
+
+    d = os.path.join(CFG_ROOT, "pbt", "mutation")
+    names = sorted(os.listdir(d))
+    assert len(names) == 5
+    for n in names:
+        with open(os.path.join(d, n)) as f:
+            spec = _y.safe_load(f)
+        assert spec and all(v.startswith("mutate_") for v in spec.values())
+
+
+def test_experiment_modules_generate():
+    import importlib
+
+    for mod in (
+        "ant_pbt",
+        "allegro_kuka_reorientation_pbt_lstm",
+        "allegro_kuka_two_arms_regrasping_pbt_lstm",
+        "allegro_kuka_throw_lstm",
+        "allegro_kuka_reorientation_lstm_8gpu",
+    ):
+        m = importlib.import_module(f"isaacgymenv_tpu.pbt.experiments.{mod}")
+        cmds = m.RUN_DESCRIPTION.generate_experiments()
+        assert cmds and all("isaacgymenv_tpu.train" in c for c, _, _ in cmds)
