@@ -63,6 +63,54 @@ def terrain_normal(
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
+def ground_active(model, terrain, geom_pos_w) -> jnp.ndarray:
+    """(..., ng) bool: geoms currently penetrating the ground/heightfield."""
+    x, y, z = geom_pos_w[..., 0], geom_pos_w[..., 1], geom_pos_w[..., 2]
+    hgt = height_at(terrain, x, y)
+    return (hgt + model.geom_radius - z) > 0.0
+
+
+def pair_active(model, geom_pos_w, body_pos_w, body_R_w) -> Optional[jnp.ndarray]:
+    """(..., np) bool: pair contacts currently penetrating."""
+    if not model.n_pairs:
+        return None
+    pg = jnp.array(model.pair_geom, jnp.int32)
+    ps = np.array(model.pair_surf)
+    sb = jnp.array([model.surf_body[s] for s in model.pair_surf], jnp.int32)
+    kind = jnp.array([model.surf_kind[s] for s in model.pair_surf], jnp.int32)
+    c = geom_pos_w[..., pg, :]
+    Rb = body_R_w[..., sb, :, :]
+    R_s = Rb @ model.surf_rotm[ps]
+    p_s = body_pos_w[..., sb, :] + jnp.einsum(
+        "...nij,...nj->...ni", Rb, jnp.broadcast_to(model.surf_offset[ps], c.shape)
+    )
+    local = jnp.einsum("...nji,...nj->...ni", R_s, c - p_s)
+    _, d_surf = _surface_closest(kind, local, size=model.surf_size[ps])
+    return (model.geom_radius[pg] - d_surf) > 0.0
+
+
+def body_active_counts(model, act_g, act_p, batch_shape) -> jnp.ndarray:
+    """(..., nb) number of currently-active contacts loading each body.
+
+    The per-contact stiffness/impulse caps are m_eff/h^2- and m_eff/h-shaped;
+    dividing each contact's effective mass by the body's LIVE active count
+    keeps the SUM across simultaneous contacts exactly within the stability
+    budget while leaving single-contact cases (locomotion feet) at full
+    stiction.  (A static split starved friction whenever fewer contacts
+    were active than the worst case.)"""
+    nb = model.nb
+    counts = jnp.zeros(batch_shape + (nb,), jnp.float32)
+    gb = jnp.array(model.geom_body, jnp.int32)
+    counts = counts.at[..., gb].add(act_g.astype(jnp.float32))
+    if act_p is not None:
+        pgb = jnp.array([model.geom_body[g] for g in model.pair_geom], jnp.int32)
+        psb = jnp.array([model.surf_body[s] for s in model.pair_surf], jnp.int32)
+        ap = act_p.astype(jnp.float32)
+        counts = counts.at[..., pgb].add(ap)
+        counts = counts.at[..., psb].add(ap)
+    return jnp.maximum(counts, 1.0)
+
+
 def contact_forces(
     model,
     terrain: Optional[Heightfield],
@@ -70,6 +118,7 @@ def contact_forces(
     geom_vel_w: jnp.ndarray,   # (..., ng, 3) world velocities of sphere centers
     body_pos_w: jnp.ndarray,   # (..., nb, 3) body origins (for torque levers)
     h: float = 1e-2,           # substep size (for impulse-capped damping)
+    n_active: Optional[jnp.ndarray] = None,  # (..., nb) live contact counts
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compute per-body external spatial forces from ground contact.
 
@@ -109,18 +158,27 @@ def contact_forces(
     # substep, which makes the scheme unconditionally stable for arbitrarily
     # light bodies (nv_ant feet are 50 g) with NO per-task damping tuning.
     kappa = 0.25
-    arrest = kappa * model.geom_meff / h  # N per (m/s)
+    # live contact-multiplicity renormalization (see body_active_counts)
+    if n_active is not None:
+        gb_idx = jnp.array(model.geom_body, jnp.int32)
+        share = 1.0 / n_active[..., gb_idx]
+    else:
+        share = 1.0
+    arrest = kappa * model.geom_meff * share / h  # N per (m/s)
     # elastic stiffness capped at the explicit stability bound, but against
     # the NORMAL-direction (max) effective mass: a standing anymal foot
     # carries tens of kg along the contact normal even though its swing
     # (min) direction mass is ~0.1 kg.  kappa_el=1.0 keeps omega*h <= 1.
     m_el = model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff
-    kn_eff = jnp.minimum(kn, m_el / (h * h))
+    kn_eff = jnp.minimum(kn, m_el * share / (h * h))
 
     d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
-    approach = jnp.maximum(-v_n, 0.0)
-    f_damp = jnp.minimum(kd * d_pos, arrest) * approach
-    fn = kn_eff * d_pos + f_damp
+    # SIGNED Hunt-Crossley damping: dissipates on approach AND reduces the
+    # spring force during separation (restitution < 1 — approach-only
+    # damping returned the stored spring energy nearly elastically, pumping
+    # light in-hand objects off the palm); clamped at zero (no adhesion)
+    f_damp = jnp.minimum(kd * d_pos, arrest) * (-v_n)
+    fn = jnp.maximum(kn_eff * d_pos + f_damp, 0.0)
     fn = jnp.where(active, fn, 0.0)
 
     mu = model.geom_friction
@@ -235,6 +293,7 @@ def pair_contact_forces(
     body_lin_w: jnp.ndarray,   # (..., nb, 3)
     body_ang_w: jnp.ndarray,   # (..., nb, 3)
     h: float,
+    n_active: Optional[jnp.ndarray] = None,  # (..., nb) live contact counts
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Body-vs-body contact via the static (sphere, surface) pair list.
 
@@ -280,21 +339,28 @@ def pair_contact_forces(
     kd = model.contact_damping
     kt = model.tangential_stiffness
     # `[..., pg]` keeps the gather on the geom axis when geom_meff is
-    # DR-batched to (N, ng)
-    m_g = model.geom_meff[..., pg]
-    m_s = model.surf_meff[ps]
+    # DR-batched to (N, ng).  Each side's effective mass is divided by its
+    # body's LIVE active-contact count (see body_active_counts).
+    if n_active is not None:
+        share_g = 1.0 / n_active[..., gb]
+        share_s = 1.0 / n_active[..., sb]
+    else:
+        share_g = share_s = 1.0
+    m_g = model.geom_meff[..., pg] * share_g
+    m_s = model.surf_meff[ps] * share_s
     m_pair = m_g * m_s / (m_g + m_s)  # reduced mass of the pair
     kappa = 0.25
     arrest = kappa * m_pair / h
-    m_g_el = (model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff)[..., pg]
-    m_s_el = (model.surf_meff_el if model.surf_meff_el is not None else model.surf_meff)[ps]
+    m_g_el = (model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff)[..., pg] * share_g
+    m_s_el = (model.surf_meff_el if model.surf_meff_el is not None else model.surf_meff)[ps] * share_s
     m_pair_el = m_g_el * m_s_el / (m_g_el + m_s_el)
     kn_eff = jnp.minimum(kn, m_pair_el / (h * h))
 
     d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
-    approach = jnp.maximum(-v_n, 0.0)
-    f_damp = jnp.minimum(kd * d_pos, arrest) * approach
-    fn = kn_eff * d_pos + f_damp
+    # signed Hunt-Crossley damping, clamped to no adhesion (see the ground
+    # contact above: approach-only damping made pair contacts near-elastic)
+    f_damp = jnp.minimum(kd * d_pos, arrest) * (-v_n)
+    fn = jnp.maximum(kn_eff * d_pos + f_damp, 0.0)
     fn = jnp.where(active, fn, 0.0)
 
     mu = jnp.sqrt(

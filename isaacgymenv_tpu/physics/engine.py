@@ -202,12 +202,20 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         model.geom_offset, body_pos_w.shape[:-2] + (model.ng, 3)))
     geom_pos_w = body_pos_w[..., gb, :] + off_w
     geom_vel_w = body_lin_w[..., gb, :] + jnp.cross(body_ang_w[..., gb, :], off_w)
+    # live per-body active-contact counts renormalize every contact's
+    # stiffness/impulse budget (XLA CSEs the duplicated penetration queries)
+    act_g = contact_mod.ground_active(model, terrain, geom_pos_w)
+    act_p = contact_mod.pair_active(model, geom_pos_w, body_pos_w, R_w)
+    n_act = contact_mod.body_active_counts(
+        model, act_g, act_p, geom_pos_w.shape[:-2]
+    )
     f_ext, body_cf = contact_mod.contact_forces(
-        model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt
+        model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt, n_active=n_act
     )
     if model.n_pairs:
         f_pair, cf_pair = contact_mod.pair_contact_forces(
-            model, geom_pos_w, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt
+            model, geom_pos_w, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt,
+            n_active=n_act,
         )
         f_ext = f_ext + f_pair
         body_cf = body_cf + cf_pair

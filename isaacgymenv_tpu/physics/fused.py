@@ -544,7 +544,12 @@ def build_fused_substep(
                     )
                 return vel_cache[b]
 
+            # PASS 1 (ground): penetration queries + live per-body contact
+            # counts (contact.body_active_counts parity: every contact's
+            # effective-mass budget is divided by its body's active count)
+            nact = [zero for _ in range(nb)]
             geom_off_w = {}
+            ground_cache = []
             for g in range(ng):
                 b = geom_body[g]
                 off_w = _mvec(R_w[b], tuple(float(x) for x in geom_off[g]))
@@ -560,35 +565,13 @@ def build_fused_substep(
                     n_g = (0.0, 0.0, 1.0)
                 depth = hgt + float(geom_r[g]) - pos_z
                 active = depth > 0.0
-                meff_g = me_ref[g] if mass_mode else float(geom_meff[g])
-                arrest = 0.25 * meff_g / h
-                if _el_static:
-                    kn_eff = min(kn_c, float(geom_meff_el[g]) / (h * h))
-                elif mass_mode:
-                    kn_eff = jnp.minimum(kn_c, meff_g / (h * h))
-                else:
-                    kn_eff = min(kn_c, float(geom_meff_el[g]) / (h * h))
-                d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
-                v_n = vel[0] * n_g[0] + vel[1] * n_g[1] + vel[2] * n_g[2]
-                v_t = tuple(vel[k] - v_n * n_g[k] for k in range(3))
-                approach = jnp.maximum(-v_n, 0.0)
-                f_damp = jnp.minimum(kd_c * d_pos, arrest) * approach
-                fn = jnp.where(active, kn_eff * d_pos + f_damp, 0.0)
-                vt_norm = jnp.sqrt(
-                    v_t[0] * v_t[0] + v_t[1] * v_t[1] + v_t[2] * v_t[2]
-                )
-                mu = fr_ref[g] if fric_mode else float(geom_mu[g])
-                ft_mag = jnp.minimum(_smin(arrest, kt_c) * vt_norm, mu * fn)
-                scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
-                f_w = tuple(fn * n_g[k] - v_t[k] * scale for k in range(3))
-                torque = _cross(off_w, f_w)
-                f_ext[b] = _vadd(f_ext[b], torque + f_w)
-                cf_out[b] = _vadd(cf_out[b], f_w)
-                ct_out[b] = _vadd(ct_out[b], torque)
-            # ------ body-vs-body pair contacts (static pair list; mirrors
+                nact[b] = nact[b] + active.astype(jnp.float32)
+                ground_cache.append((g, b, depth, active, n_g, vel, off_w))
+            # PASS 1 (pairs): geometry + activity (static pair list; mirrors
             # contact.pair_contact_forces — the closest-feature branch per
             # pair is selected at TRACE time from the static surface kind,
-            # so each pair costs only its own geometry) ------
+            # so each pair costs only its own geometry)
+            pair_cache = []
             for pi in range(n_pairs):
                 g = pair_geom[pi]
                 s_ = pair_surf[pi]
@@ -664,6 +647,8 @@ def build_fused_substep(
                 r_g = float(geom_r[g])
                 depth = r_g - d_surf
                 active = depth > 0.0
+                nact[gb_] = nact[gb_] + active.astype(jnp.float32)
+                nact[sb_] = nact[sb_] + active.astype(jnp.float32)
                 x_c = tuple(c[k] - n_w[k] * r_g for k in range(3))
                 lever_g = _vsub(x_c, p_w[gb_])
                 lever_s = _vsub(x_c, p_w[sb_])
@@ -672,29 +657,82 @@ def build_fused_substep(
                 v_g = _vadd(lg, _cross(ag, lever_g))
                 v_s = _vadd(ls, _cross(as_, lever_s))
                 v_rel = _vsub(v_g, v_s)
+                pair_cache.append(
+                    (pi, g, s_, gb_, sb_, depth, active, n_w, lever_g, lever_s, v_rel)
+                )
+
+            # live share factors (1/max(count, 1) per body with any contact)
+            inv_nact = {}
+            for b in set(
+                [geom_body[g] for g in range(ng)]
+                + ([geom_body[pair_geom[pi]] for pi in range(n_pairs)]
+                   + [surf_body[pair_surf[pi]] for pi in range(n_pairs)]
+                   if n_pairs else [])
+            ):
+                inv_nact[b] = 1.0 / jnp.maximum(nact[b], 1.0)
+
+            # PASS 2 (ground): forces with renormalized budgets
+            for g, b, depth, active, n_g, vel, off_w in ground_cache:
+                share = inv_nact[b]
+                meff_g = (me_ref[g] if mass_mode else float(geom_meff[g])) * share
+                arrest = 0.25 * meff_g / h
+                if _el_static:
+                    kn_eff = jnp.minimum(
+                        kn_c, float(geom_meff_el[g]) * share / (h * h)
+                    )
+                elif mass_mode:
+                    kn_eff = jnp.minimum(kn_c, meff_g / (h * h))
+                else:
+                    kn_eff = jnp.minimum(
+                        kn_c, float(geom_meff_el[g]) * share / (h * h)
+                    )
+                d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
+                v_n = vel[0] * n_g[0] + vel[1] * n_g[1] + vel[2] * n_g[2]
+                v_t = tuple(vel[k] - v_n * n_g[k] for k in range(3))
+                # signed Hunt-Crossley damping, no adhesion (engine parity)
+                f_damp = jnp.minimum(kd_c * d_pos, arrest) * (-v_n)
+                fn = jnp.where(
+                    active, jnp.maximum(kn_eff * d_pos + f_damp, 0.0), 0.0
+                )
+                vt_norm = jnp.sqrt(
+                    v_t[0] * v_t[0] + v_t[1] * v_t[1] + v_t[2] * v_t[2]
+                )
+                mu = fr_ref[g] if fric_mode else float(geom_mu[g])
+                ft_mag = jnp.minimum(_smin(arrest, kt_c) * vt_norm, mu * fn)
+                scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
+                f_w = tuple(fn * n_g[k] - v_t[k] * scale for k in range(3))
+                torque = _cross(off_w, f_w)
+                f_ext[b] = _vadd(f_ext[b], torque + f_w)
+                cf_out[b] = _vadd(cf_out[b], f_w)
+                ct_out[b] = _vadd(ct_out[b], torque)
+
+            # PASS 2 (pairs)
+            for pi, g, s_, gb_, sb_, depth, active, n_w, lever_g, lever_s, v_rel in pair_cache:
                 v_n = v_rel[0] * n_w[0] + v_rel[1] * n_w[1] + v_rel[2] * n_w[2]
                 v_t = tuple(v_rel[k] - v_n * n_w[k] for k in range(3))
                 vt_norm = jnp.sqrt(v_t[0] ** 2 + v_t[1] ** 2 + v_t[2] ** 2)
-                m_g_ = me_ref[g] if mass_mode else float(geom_meff[g])
-                m_s_ = float(surf_meff_c[s_])
+                share_g = inv_nact[gb_]
+                share_s = inv_nact[sb_]
+                m_g_ = (me_ref[g] if mass_mode else float(geom_meff[g])) * share_g
+                m_s_ = float(surf_meff_c[s_]) * share_s
                 m_pair = m_g_ * m_s_ / (m_g_ + m_s_)
                 arrest = 0.25 * m_pair / h
-                ms_el = float(surf_meff_el_c[s_])
+                ms_el = float(surf_meff_el_c[s_]) * share_s
                 if _el_static:
-                    mg_el = float(geom_meff_el[g])
-                    kn_eff = min(kn_c, mg_el * ms_el / (mg_el + ms_el) / (h * h))
+                    mg_el = float(geom_meff_el[g]) * share_g
                 elif mass_mode:
                     mg_el = m_g_
-                    kn_eff = jnp.minimum(
-                        kn_c, mg_el * ms_el / (mg_el + ms_el) / (h * h)
-                    )
                 else:
-                    mg_el = float(geom_meff_el[g])
-                    kn_eff = min(kn_c, mg_el * ms_el / (mg_el + ms_el) / (h * h))
+                    mg_el = float(geom_meff_el[g]) * share_g
+                kn_eff = jnp.minimum(
+                    kn_c, mg_el * ms_el / (mg_el + ms_el) / (h * h)
+                )
                 d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
-                approach = jnp.maximum(-v_n, 0.0)
-                f_damp = jnp.minimum(kd_c * d_pos, arrest) * approach
-                fn = jnp.where(active, kn_eff * d_pos + f_damp, 0.0)
+                # signed Hunt-Crossley damping, no adhesion (engine parity)
+                f_damp = jnp.minimum(kd_c * d_pos, arrest) * (-v_n)
+                fn = jnp.where(
+                    active, jnp.maximum(kn_eff * d_pos + f_damp, 0.0), 0.0
+                )
                 if fric_mode:
                     mu = jnp.sqrt(fr_ref[g] * float(surf_mu_c[s_]))
                 else:

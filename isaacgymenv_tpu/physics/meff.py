@@ -50,11 +50,12 @@ def attach_effective_masses(model: SimModel, q0: np.ndarray | None = None) -> Si
         m_dir = 1.0 / jnp.maximum(diag, 1e-6)  # per-axis effective mass
         meff.append(float(jnp.clip(jnp.min(m_dir), 1e-3, 1e4)))
         meff_el.append(float(jnp.clip(jnp.max(m_dir), 1e-3, 1e4)))
-    # several spheres on one body can be in contact simultaneously and each
-    # applies its own impulse cap — split the budget so the SUM stays within
-    # the stable bound
-    counts = np.bincount(np.array(model.geom_body), minlength=model.nb)
-    meff = [m / max(int(counts[model.geom_body[g]]), 1) for g, m in enumerate(meff)]
+    # NOTE: no static per-geom split here.  Contact multiplicity is handled
+    # DYNAMICALLY at sim time: each contact's effective-mass budget is
+    # divided by its body's live active-contact count
+    # (contact.body_active_counts), so the SUM of stiffness/impulse caps
+    # across simultaneous contacts stays exactly within the stability bound
+    # while single-contact cases (locomotion feet) keep full stiction.
     model = model.replace(
         geom_meff=jnp.array(meff, jnp.float32),
         geom_meff_el=jnp.array(meff_el, jnp.float32),

@@ -111,3 +111,36 @@ def test_capsule_surface_contact():
     x = abs(float(state.q[0, 0])) + abs(float(state.q[0, 1]))
     assert z < 0.7
     assert x > 0.01 or z > 0.55  # deflected sideways or still on top
+
+
+def test_shadow_hand_cube_rests_on_palm():
+    """In-hand stability regression: a cube dropped onto the zero-action
+    ShadowHand palm must SETTLE (multi-contact penalty springs previously
+    pumped energy and ejected it within ~10 steps).  Checks both the signed
+    Hunt-Crossley damping and the live contact-multiplicity budget."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isaacgymenv_tpu.envs.registry import get_task
+    from isaacgymenv_tpu.utils.config import load_task_config
+
+    cfg = load_task_config("ShadowHand", num_envs=4)
+    env = get_task("ShadowHand")(cfg)
+    st = env.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    a = jnp.zeros((4, env.num_actions))
+    dones = 0
+    speeds = []
+    for i in range(80):
+        st, obs, rew, done, ex = step(st, a)
+        dones += int(np.asarray(done).sum())
+        if i >= 60:
+            v = np.asarray(st.sim.body_linvel[:, env.object_body])
+            speeds.append(np.linalg.norm(v, axis=-1))
+    # most envs keep the cube: fewer than 1 fall per env on average over 80
+    # steps (the broken contact model produced a fall every ~13 steps/env)
+    assert dones <= 8, f"cube falls too often: {dones} resets in 80 steps x 4 envs"
+    # at least half the envs have a settled (near-static) cube at the end
+    settled = (np.stack(speeds).min(0) < 0.25).sum()
+    assert settled >= 2, f"cube not settling: end speeds {np.stack(speeds).min(0)}"
