@@ -21,10 +21,15 @@ run() {
   tail -n 3 "runs/logs/$name.log"
 }
 
+# AnymalTerrain runs the procedural trimesh curriculum (the flagship demo
+# config; the shipped yaml default is plane for reference parity) so
+# episode/terrain_level promotion is exercised and logged.
 run Ant_r2 task=Ant headless=True max_iterations=500
-run Anymal_r2 task=Anymal headless=True max_iterations=1000
-run AnymalTerrain_r2 task=AnymalTerrain headless=True max_iterations=1500
-run ShadowHand_r2 task=ShadowHand headless=True max_iterations=2000
-run HumanoidAMP_r2 task=HumanoidAMP headless=True max_iterations=1500
-run HoundTerrain_r2 task=HoundTerrain headless=True max_iterations=1000
+run Anymal_r2 task=Anymal headless=True max_iterations=800
+run AnymalTerrain_r2 task=AnymalTerrain headless=True max_iterations=1500 \
+    env.terrain.terrainType=trimesh
+run ShadowHand_r2 task=ShadowHand headless=True max_iterations=2500
+run HumanoidAMP_r2 task=HumanoidAMP headless=True max_iterations=2500
+run HoundTerrain_r2 task=HoundTerrain headless=True max_iterations=1000 \
+    env.terrain.terrainType=trimesh
 echo "ladder done"
