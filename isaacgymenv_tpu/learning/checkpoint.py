@@ -44,8 +44,14 @@ def save_train_state(ts, path: str) -> None:
         "state_cls": type(ts).__name__,
         "state": host,
     }
-    with open(path, "wb") as f:
+    # atomic write: PBT peers read checkpoints from the shared workspace
+    # concurrently — a direct write would expose partial pickles
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+    import os
+
+    os.replace(tmp, path)
 
 
 def _validate_against(agent, ts) -> None:

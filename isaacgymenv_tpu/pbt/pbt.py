@@ -88,13 +88,19 @@ def restart_with_new_params(
     policy_idx: int, new_params: Dict, restart_checkpoint: Optional[str]
 ) -> None:
     """os.execv self-restart with a rewritten CLI (ref: pbt/pbt.py:123-177)."""
+    # filter by the keys AS EMITTED below, so repeated restarts replace the
+    # previous mutation args instead of accumulating duplicates
+    emitted = {
+        p if p.startswith(("train.", "task.")) else f"train.params.{p}"
+        for p in new_params
+    }
     modified = []
     for arg in sys.argv[1:]:
         if "=" not in arg:
             modified.append(arg)
             continue
         name = arg.split("=", 1)[0].lstrip("+")
-        if name in new_params or name in ("checkpoint", "pbt_restart"):
+        if name in emitted or name in ("checkpoint", "pbt_restart"):
             continue
         modified.append(arg)
     modified.append("++pbt_restart=True")

@@ -119,10 +119,20 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     return True
 
 
-def _block_s(num_envs: int) -> int:
-    """Sublanes per grid cell: up to one full fp32 tile (8x128 envs)."""
+def _block_s(num_envs: int, model: SimModel) -> int:
+    """Sublanes per grid cell: up to one full fp32 tile (8x128 envs),
+    reduced when the scene's estimated live VMEM footprint would blow the
+    ~16MB scoped-vmem stack (big pair-contact scenes like ShadowHand)."""
+    # live (S,128)-valued registers: FK/ABA state + slim contact caches
+    V = (
+        20 * model.nb + 4 * model.ng + 5 * model.n_pairs
+        + 2 * (model.nq + model.nv + 2 * model.nd) + 300
+    )
+    budget = 14 * 1024 * 1024
     for s in (8, 4, 2, 1):
-        if num_envs % (s * LANES) == 0:
+        if num_envs % (s * LANES) != 0:
+            continue
+        if V * s * LANES * 4 <= budget or s == 1:
             return s
     return 1
 
@@ -363,7 +373,7 @@ def build_fused_substep(
     - grav_mode: DR-batched per-env gravity (N, 3) (sim_params gravity DR).
     """
     nb, nq, nv, nd, ng = model.nb, model.nq, model.nv, model.nd, model.ng
-    S = _block_s(num_envs)
+    S = _block_s(num_envs, model)
     grid = num_envs // (S * LANES)
     h = float(dt)
 
@@ -546,7 +556,9 @@ def build_fused_substep(
 
             # PASS 1 (ground): penetration queries + live per-body contact
             # counts (contact.body_active_counts parity: every contact's
-            # effective-mass budget is divided by its body's active count)
+            # effective-mass budget is divided by its body's active count).
+            # Caches are SLIM (depth/active only; velocities and levers are
+            # recomputed in pass 2) to keep the kernel's live VMEM set small.
             nact = [zero for _ in range(nb)]
             geom_off_w = {}
             ground_cache = []
@@ -555,18 +567,11 @@ def build_fused_substep(
                 off_w = _mvec(R_w[b], tuple(float(x) for x in geom_off[g]))
                 geom_off_w[g] = off_w
                 pos_z = p_w[b][2] + off_w[2]
-                ang_w, lin_w = body_vel_w(b)
-                vel = _vadd(lin_w, _cross(ang_w, off_w))
-                if terrain_mode:
-                    hgt = gh_ref[g]
-                    n_g = (gn_ref[3 * g], gn_ref[3 * g + 1], gn_ref[3 * g + 2])
-                else:
-                    hgt = 0.0
-                    n_g = (0.0, 0.0, 1.0)
+                hgt = gh_ref[g] if terrain_mode else 0.0
                 depth = hgt + float(geom_r[g]) - pos_z
                 active = depth > 0.0
                 nact[b] = nact[b] + active.astype(jnp.float32)
-                ground_cache.append((g, b, depth, active, n_g, vel, off_w))
+                ground_cache.append((g, b, depth, active))
             # PASS 1 (pairs): geometry + activity (static pair list; mirrors
             # contact.pair_contact_forces — the closest-feature branch per
             # pair is selected at TRACE time from the static surface kind,
@@ -644,22 +649,11 @@ def build_fused_substep(
                         jnp.where(d_in < 0, n_in3[k], n_out3[k]) for k in range(3)
                     )
                 n_w = _mvec(R_s, n_l)  # world, away from surface
-                r_g = float(geom_r[g])
-                depth = r_g - d_surf
+                depth = float(geom_r[g]) - d_surf
                 active = depth > 0.0
                 nact[gb_] = nact[gb_] + active.astype(jnp.float32)
                 nact[sb_] = nact[sb_] + active.astype(jnp.float32)
-                x_c = tuple(c[k] - n_w[k] * r_g for k in range(3))
-                lever_g = _vsub(x_c, p_w[gb_])
-                lever_s = _vsub(x_c, p_w[sb_])
-                ag, lg = body_vel_w(gb_)
-                as_, ls = body_vel_w(sb_)
-                v_g = _vadd(lg, _cross(ag, lever_g))
-                v_s = _vadd(ls, _cross(as_, lever_s))
-                v_rel = _vsub(v_g, v_s)
-                pair_cache.append(
-                    (pi, g, s_, gb_, sb_, depth, active, n_w, lever_g, lever_s, v_rel)
-                )
+                pair_cache.append((g, s_, gb_, sb_, depth, active, n_w))
 
             # live share factors (1/max(count, 1) per body with any contact)
             inv_nact = {}
@@ -672,7 +666,14 @@ def build_fused_substep(
                 inv_nact[b] = 1.0 / jnp.maximum(nact[b], 1.0)
 
             # PASS 2 (ground): forces with renormalized budgets
-            for g, b, depth, active, n_g, vel, off_w in ground_cache:
+            for g, b, depth, active in ground_cache:
+                off_w = geom_off_w[g]
+                ang_w, lin_w = body_vel_w(b)
+                vel = _vadd(lin_w, _cross(ang_w, off_w))
+                if terrain_mode:
+                    n_g = (gn_ref[3 * g], gn_ref[3 * g + 1], gn_ref[3 * g + 2])
+                else:
+                    n_g = (0.0, 0.0, 1.0)
                 share = inv_nact[b]
                 meff_g = (me_ref[g] if mass_mode else float(geom_meff[g])) * share
                 arrest = 0.25 * meff_g / h
@@ -706,8 +707,19 @@ def build_fused_substep(
                 cf_out[b] = _vadd(cf_out[b], f_w)
                 ct_out[b] = _vadd(ct_out[b], torque)
 
-            # PASS 2 (pairs)
-            for pi, g, s_, gb_, sb_, depth, active, n_w, lever_g, lever_s, v_rel in pair_cache:
+            # PASS 2 (pairs): levers/velocities recomputed from the cached
+            # contact normal (cheap vs caching them across the passes)
+            for g, s_, gb_, sb_, depth, active, n_w in pair_cache:
+                c = _vadd(p_w[gb_], geom_off_w[g])
+                r_g = float(geom_r[g])
+                x_c = tuple(c[k] - n_w[k] * r_g for k in range(3))
+                lever_g = _vsub(x_c, p_w[gb_])
+                lever_s = _vsub(x_c, p_w[sb_])
+                ag, lg = body_vel_w(gb_)
+                as_, ls = body_vel_w(sb_)
+                v_g = _vadd(lg, _cross(ag, lever_g))
+                v_s = _vadd(ls, _cross(as_, lever_s))
+                v_rel = _vsub(v_g, v_s)
                 v_n = v_rel[0] * n_w[0] + v_rel[1] * n_w[1] + v_rel[2] * n_w[2]
                 v_t = tuple(v_rel[k] - v_n * n_w[k] for k in range(3))
                 vt_norm = jnp.sqrt(v_t[0] ** 2 + v_t[1] ** 2 + v_t[2] ** 2)

@@ -19,9 +19,17 @@ CFG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 def _parse_value(v: str) -> Any:
     try:
-        return yaml.safe_load(v)
+        out = yaml.safe_load(v)
     except yaml.YAMLError:
         return v
+    if isinstance(out, str):
+        # YAML 1.1 reads "3e-4" (no dot) as a STRING; hydra/python accept it
+        # as a float — so do we (PBT mutation math needs real numbers)
+        try:
+            return float(out)
+        except ValueError:
+            return out
+    return out
 
 
 def set_dotted(cfg: Dict, dotted: str, value: Any) -> None:
