@@ -78,6 +78,16 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     """
     if any(jt not in (JT_FREE, JT_REVOLUTE, JT_PRISMATIC, JT_FIXED) for jt in model.jtype):
         return False
+    # free joints are only fused at actor roots (the ABA backward pass
+    # terminates articulated propagation there); mid-chain free joints fall
+    # back to the XLA path
+    if any(jt == JT_FREE and int(par) >= 0
+           for jt, par in zip(model.jtype, model.parent)):
+        return False
+    # dof-width kernel I/O (targets, dof_force) is zero-width when the scene
+    # has no actuated dofs — pallas rejects 0-dim blocks; XLA path instead
+    if model.nd == 0:
+        return False
     # pair-contact / anchor / tendon params must be static to bake
     for leaf in (model.surf_size, model.surf_friction, model.surf_meff,
                  model.anchor_target, model.anchor_meff, model.tendon_coef,
@@ -560,6 +570,12 @@ def build_fused_substep(
             # Caches are SLIM (depth/active only; velocities and levers are
             # recomputed in pass 2) to keep the kernel's live VMEM set small.
             nact = [zero for _ in range(nb)]
+
+            def _b2f(x):
+                # a contact on a fully static body traces as a Python bool
+                # (constant geometry), which has no .astype
+                return x.astype(jnp.float32) if hasattr(x, "astype") else jnp.float32(x)
+
             geom_off_w = {}
             ground_cache = []
             for g in range(ng):
@@ -570,7 +586,7 @@ def build_fused_substep(
                 hgt = gh_ref[g] if terrain_mode else 0.0
                 depth = hgt + float(geom_r[g]) - pos_z
                 active = depth > 0.0
-                nact[b] = nact[b] + active.astype(jnp.float32)
+                nact[b] = nact[b] + _b2f(active)
                 ground_cache.append((g, b, depth, active))
             # PASS 1 (pairs): geometry + activity (static pair list; mirrors
             # contact.pair_contact_forces — the closest-feature branch per
@@ -651,8 +667,8 @@ def build_fused_substep(
                 n_w = _mvec(R_s, n_l)  # world, away from surface
                 depth = float(geom_r[g]) - d_surf
                 active = depth > 0.0
-                nact[gb_] = nact[gb_] + active.astype(jnp.float32)
-                nact[sb_] = nact[sb_] + active.astype(jnp.float32)
+                nact[gb_] = nact[gb_] + _b2f(active)
+                nact[sb_] = nact[sb_] + _b2f(active)
                 pair_cache.append((g, s_, gb_, sb_, depth, active, n_w))
 
             # live share factors (1/max(count, 1) per body with any contact)

@@ -330,3 +330,58 @@ def test_fused_pairs_anchors_tendons_gravcomp(substeps, monkeypatch):
         np.asarray(out.contact_torque), np.asarray(ref.contact_torque),
         rtol=2e-3, atol=5e-2,
     )
+
+
+def test_fused_static_body_geom(monkeypatch):
+    """Geoms on a fully static kinematic chain (fixed root, e.g. Cartpole's
+    rail) trace as Python-float geometry inside the kernel; regression for
+    the `'bool' object has no attribute 'astype'` crash in the live
+    contact-count pass (only reachable at num_envs % 128 == 0, which CI's
+    small-env smoke tests never hit)."""
+    from isaacgymenv_tpu.physics import fused as fused_mod
+
+    mb = ModelBuilder()
+    # static root: fixed joint to world, with a geom that PENETRATES the
+    # ground (constant active contact) and one that never touches it
+    table = mb.add_body("table", -1, JT_FIXED, mass=10.0,
+                        inertia=np.diag([0.1, 0.1, 0.1]))
+    mb.add_geom_sphere(table, (0.3, 0.0, 0.02), 0.05, friction=0.8)  # active
+    mb.add_geom_sphere(table, (0.0, 0.0, 0.5), 0.05, friction=0.8)   # inactive
+    paddle = mb.add_body("paddle", table, JT_REVOLUTE, joint_pos=(0, 0, 0.2),
+                         joint_axis=(0, 1, 0), mass=0.3,
+                         inertia=np.diag([1e-3] * 3), drive_mode=DRIVE_POS,
+                         stiffness=10.0, damping=0.5, lower=-1.0, upper=1.0,
+                         has_limit=True, effort=5.0, armature=1e-3, maxvel=10.0)
+    mb.add_geom_sphere(paddle, (0.0, 0.0, -0.1), 0.02, friction=0.9)
+    actor2 = ModelBuilder()
+    ball = actor2.add_body("ball", -1, JT_FREE, mass=0.2,
+                           inertia=np.diag([1e-3] * 3))
+    actor2.add_geom_sphere(ball, (0.0, 0.0, 0.0), 0.04, friction=1.0)
+    mb.merge(actor2)
+    mb.gravity = np.array([0.0, 0.0, -9.81])
+    model = attach_effective_masses(mb.finalize())
+
+    qa = model.q_adr[model.actor_root[1]]  # ball free joint
+    q0 = jnp.zeros((N, model.nq))
+    q0 = q0.at[:, qa + 2].set(
+        0.03 + 0.02 * jax.random.uniform(jax.random.PRNGKey(3), (N,))
+    )
+    q0 = q0.at[:, qa + 6].set(1.0)
+    qd0 = 0.2 * jax.random.normal(jax.random.PRNGKey(4), (N, model.nv))
+    sim0 = _empty_sim(model, q0, qd0)
+    ctrl = engine.Control.zero(model, N).replace(
+        pos_target=0.5 * jax.random.normal(jax.random.PRNGKey(5), (N, model.nd)),
+    )
+    assert fused_mod.fused_ok(model, None, ctrl.body_wrench, N)
+
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
+    ref = engine.step(model, None, sim0, ctrl, 0.02, 2)
+    monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    out = engine.step(model, None, sim0, ctrl, 0.02, 2)
+
+    np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.qd), np.asarray(ref.qd), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.contact_force), np.asarray(ref.contact_force),
+        rtol=2e-3, atol=2e-2,
+    )
