@@ -15,9 +15,13 @@ Behavioral spec (ref: tasks/franka_cabinet.py):
   drawer inward (-1,0,0), gripper up (0,1,0) vs drawer up (0,0,1)) +
   around-handle + finger-distance + drawer-open terms + open bonuses; -1
   style penalty when fingers slip behind; reset when drawer > 0.39 open.
-- Deviations (documented): shelf props (numProps) are clutter with no
-  reward coupling and are not spawned; cabinet start-position noise is 0 in
-  the shipped config and unsupported here (fixed bases are static).
+- Shelf props (numProps, default 16 like the reference): free 8 cm boxes
+  (density 400 -> 0.2048 kg) spawned in a sqrt-grid around the drawer_top
+  pose (spacing 0.09, ref :265-288), reset to their spawn states on env
+  reset (ref :403-409).  Pure physics clutter — no reward/obs coupling,
+  exactly as in the reference.
+- Deviation (documented): cabinet start-position noise is 0 in the shipped
+  config and unsupported here (fixed bases are static).
 """
 
 from __future__ import annotations
@@ -37,12 +41,47 @@ from isaacgymenv_tpu.physics.types import (
     DRIVE_POS,
     dof_pos,
     dof_vel,
+    root_state,
     set_dof_state,
+    set_root_state,
 )
 from isaacgymenv_tpu.physics.urdf import AssetOptions, load_urdf
 from isaacgymenv_tpu.utils.config import asset_root
 
 FRANKA_DEFAULT = (1.157, -1.066, -0.155, -2.239, -1.841, 1.003, 0.469, 0.035, 0.035)
+PROP_SIZE = 0.08  # ref :69-71 prop_width/height/length
+PROP_SPACING = 0.09  # ref :72
+
+
+def _builder_zero_pos(mb, body: int) -> np.ndarray:
+    """World position of a builder body at q=0 (all joints at their fixed
+    offsets) — the pose `get_rigid_transform` reads before any dof write."""
+
+    def qrot(q, v):
+        u, w = q[:3], q[3]
+        return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+    p = np.zeros(3)
+    q = np.array([0.0, 0.0, 0.0, 1.0])
+    chain = []
+    b = body
+    while b >= 0:
+        chain.append(b)
+        b = mb.bodies[b].parent
+    for b in reversed(chain):
+        bb = mb.bodies[b]
+        p = p + qrot(q, bb.joint_pos)
+        qj = bb.joint_quat
+        # quat multiply q * qj (xyzw)
+        x1, y1, z1, w1 = q
+        x2, y2, z2, w2 = qj
+        q = np.array([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ])
+    return p
 
 
 @register("FrankaCabinet")
@@ -96,8 +135,76 @@ class FrankaCabinet(TaskEnv):
             if b.jtype in (1, 2):
                 b.damping = 10.0  # ref :200-203
         off = fb.merge(cb)
+
+        # shelf props: free boxes in a sqrt-grid at the drawer_top pose
+        # (ref :205-208 create_box density 400; :260-288 grid placement)
+        self.num_props = int(cfg["env"].get("numProps", 0))
+        default_prop_states = []
+        if self.num_props > 0:
+            from isaacgymenv_tpu.envs.franka_cube_stack import _add_box_actor
+
+            # drawer_top default world pose: FK of the pre-merge cabinet at
+            # q=0 is just its static offsets — compute from the merged
+            # builder's zero state below; positions only need the spawn pose
+            drawer_p = _builder_zero_pos(fb, cinfo["link_body"]["drawer_top"] + off)
+            ppr = int(np.ceil(np.sqrt(self.num_props)))
+            spacing = PROP_SPACING
+            half = PROP_SIZE / 2.0
+            mass = 400.0 * PROP_SIZE**3  # ref box_opts.density = 400
+            xmin = -0.5 * spacing * (ppr - 1)
+            yzmin = -0.5 * spacing * (ppr - 1)
+            count = 0
+            prop_bodies = set()
+            for j in range(ppr):
+                prop_up = yzmin + j * spacing
+                for k in range(ppr):
+                    if count >= self.num_props:
+                        break
+                    propx = xmin + k * spacing
+                    prop_bodies.add(
+                        _add_box_actor(fb, f"prop{count}", (half,) * 3, None, mass)
+                    )
+                    default_prop_states.append(
+                        [drawer_p[0] + propx, drawer_p[1] + prop_up, drawer_p[2],
+                         0.0, 0.0, 0.0, 1.0, 0, 0, 0, 0, 0, 0]
+                    )
+                    count += 1
+            # static broadphase: props interact with the cabinet, each other,
+            # and the franka wrist/fingers (the links that can plausibly
+            # sweep the shelf) — PhysX culls the same pairs at runtime;
+            # pruning here bounds the static pair list (36 bodies would
+            # otherwise make ~14k pairs/env)
+            n_franka = off  # bodies [0, off) are the franka
+            wrist = {
+                finfo["link_body"][n]
+                for n in ("panda_link6", "panda_link7", "panda_leftfinger",
+                          "panda_rightfinger")
+                if n in finfo["link_body"]
+            }
+
+            def _keep(gb, sb):
+                a_prop, b_prop = gb in prop_bodies, sb in prop_bodies
+                if not (a_prop or b_prop):
+                    return True
+                if a_prop and b_prop:
+                    return True
+                if a_prop:  # prop spheres vs cabinet surfaces + wrist
+                    return sb >= n_franka or sb in wrist
+                # surface side is the prop: only the wrist geoms collide
+                # against prop boxes (prop-sphere-vs-cabinet-surface already
+                # covers resting/pushing; the symmetric cabinet-geom
+                # direction is redundant and triples the pair list)
+                return gb in wrist
+
+            fb.pair_filter = _keep
         fb.gravity = np.array(self.gravity)
         self.model = attach_effective_masses(fb.finalize())
+        # actors: franka(0), cabinet(1), props 2.. (ref global_indices [:,2:])
+        self.prop_actors = np.arange(2, 2 + self.num_props)
+        self.default_prop_states = (
+            jnp.array(default_prop_states, jnp.float32)
+            if self.num_props else jnp.zeros((0, 13), jnp.float32)
+        )
         names = self.model.body_names
         self.hand_body = finfo["link_body"]["panda_link7"]
         self.lfinger_body = finfo["link_body"]["panda_leftfinger"]
@@ -155,6 +262,16 @@ class FrankaCabinet(TaskEnv):
             jnp.where(mm, full, dof_pos(m, state.sim)),
             jnp.where(mm, 0.0, dof_vel(m, state.sim)),
         )
+        if self.num_props > 0:
+            # reset props to their spawn grid (ref :403-409)
+            rs = root_state(m, sim)
+            defaults = jnp.broadcast_to(
+                self.default_prop_states, (n, self.num_props, 13)
+            )
+            rs = rs.at[:, self.prop_actors].set(
+                jnp.where(mask[:, None, None], defaults, rs[:, self.prop_actors])
+            )
+            sim = set_root_state(m, sim, rs)
         ts = dict(state.ts)
         ts["dof_targets"] = jnp.where(mm, full, ts["dof_targets"])
         return state.replace(

@@ -57,6 +57,7 @@ CUBE_A, CUBE_B = 0.050, 0.070
 
 
 def _add_box_actor(mb, name, half, pos, mass, fixed=False, friction=1.0):
+    """Free/fixed box actor: SURF_BOX + 8 corner contact spheres."""
     b = mb.add_body(
         name, -1, JT_FIXED if fixed else JT_FREE,
         joint_pos=pos if fixed else (0, 0, 0),

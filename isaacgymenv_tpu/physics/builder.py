@@ -110,6 +110,11 @@ class ModelBuilder:
         self.contact_stiffness = 1.0e4
         self.contact_damping = 1.0e5
         self.tangential_stiffness = 1.0e6
+        # optional static broadphase: pair_filter(geom_body, surf_body) ->
+        # bool keeps/prunes a cross-actor contact pair at build time (the
+        # compile-time analog of PhysX's runtime broadphase culling; scenes
+        # with many clutter actors use it to bound the static pair list)
+        self.pair_filter = None
 
     # -- construction ------------------------------------------------------
     def add_body(
@@ -353,7 +358,9 @@ class ModelBuilder:
         pair_geom, pair_surf = [], []
         for g, gb in enumerate(self.geom_body):
             for s, (sb, *_rest) in enumerate(self.surfaces):
-                if actor_of_body[gb] != actor_of_body[sb]:
+                if actor_of_body[gb] != actor_of_body[sb] and (
+                    self.pair_filter is None or self.pair_filter(gb, sb)
+                ):
                     pair_geom.append(g)
                     pair_surf.append(s)
         return dict(

@@ -173,30 +173,51 @@ class SkeletonState:
             J = tree.num_joints
             parents = tree.parent_indices
             local_t = tree.local_translation
-            if not self.is_local:
-                raise ValueError(
-                    "FK from global rotations: use local_rotation first"
-                )
-            lrot = self.rotation
-            grot = np.zeros_like(lrot)
-            gpos = np.zeros(lrot.shape[:-1] + (3,), np.float32)
-            for j in range(J):
-                p = int(parents[j])
-                if p < 0:
-                    grot[..., j, :] = lrot[..., j, :]
-                    gpos[..., j, :] = self.root_translation
-                else:
-                    grot[..., j, :] = _np_quat_mul(grot[..., p, :], lrot[..., j, :])
-                    gpos[..., j, :] = gpos[..., p, :] + _np_quat_rotate(
-                        grot[..., p, :], np.broadcast_to(local_t[j], gpos[..., j, :].shape)
-                    )
+            if self.is_local:
+                lrot = self.rotation
+                grot = np.zeros_like(lrot)
+                gpos = np.zeros(lrot.shape[:-1] + (3,), np.float32)
+                for j in range(J):
+                    p = int(parents[j])
+                    if p < 0:
+                        grot[..., j, :] = lrot[..., j, :]
+                        gpos[..., j, :] = self.root_translation
+                    else:
+                        grot[..., j, :] = _np_quat_mul(grot[..., p, :], lrot[..., j, :])
+                        gpos[..., j, :] = gpos[..., p, :] + _np_quat_rotate(
+                            grot[..., p, :],
+                            np.broadcast_to(local_t[j], gpos[..., j, :].shape),
+                        )
+            else:
+                # global-representation state (ref supports both; skeleton3d.py
+                # SkeletonState.global_translation): rotations ARE the global
+                # rotations, positions follow from the position recursion alone
+                grot = self.rotation
+                gpos = np.zeros(grot.shape[:-1] + (3,), np.float32)
+                for j in range(J):
+                    p = int(parents[j])
+                    if p < 0:
+                        gpos[..., j, :] = self.root_translation
+                    else:
+                        gpos[..., j, :] = gpos[..., p, :] + _np_quat_rotate(
+                            grot[..., p, :],
+                            np.broadcast_to(local_t[j], gpos[..., j, :].shape),
+                        )
             self._fk_cache = (grot, gpos)
         return self._fk_cache
 
     @property
     def local_rotation(self) -> np.ndarray:
         if not self.is_local:
-            raise ValueError("state holds global rotations")
+            # invert the rotation recursion: lrot[j] = conj(grot[parent]) * grot[j]
+            grot = self.rotation
+            lrot = np.array(grot, np.float32)
+            conj = np.array([-1.0, -1.0, -1.0, 1.0], np.float32)
+            for j in range(self.skeleton_tree.num_joints):
+                p = int(self.skeleton_tree.parent_indices[j])
+                if p >= 0:
+                    lrot[..., j, :] = _np_quat_mul(grot[..., p, :] * conj, grot[..., j, :])
+            return lrot
         return self.rotation
 
     @property
@@ -222,9 +243,10 @@ class SkeletonMotion(SkeletonState):
     """A skeleton trajectory: SkeletonState over a leading frame axis plus
     fps and derived global velocities (ref skeleton3d.py:1026-1235).
 
-    Velocities are central finite differences of the FK outputs (the
-    reference additionally smooths with a gaussian filter; differences are
-    documented and well under contact-noise scale)."""
+    Velocities match the reference pipeline exactly: central finite
+    differences of the FK outputs smoothed with a sigma=2 gaussian along the
+    frame axis (mode='nearest'), and the final angular-velocity frame left
+    at zero (the reference's dq defaults to identity for the last frame)."""
 
     def __init__(self, skeleton_tree, rotation, root_translation, fps,
                  is_local=True, global_velocity=None,
@@ -276,23 +298,33 @@ class SkeletonMotion(SkeletonState):
 
     # ----- derived velocities (ref _compute_velocity/_compute_angular_velocity) -----
 
+    @staticmethod
+    def _smooth_frames(x: np.ndarray) -> np.ndarray:
+        """Reference's gaussian_filter1d(sigma=2, axis=frame, mode='nearest')."""
+        from scipy.ndimage import gaussian_filter1d
+
+        return gaussian_filter1d(x, sigma=2, axis=0, mode="nearest")
+
     @property
     def global_velocity(self) -> np.ndarray:
         if self._gv is None:
             p = self.global_translation  # (F, J, 3)
-            self._gv = np.gradient(p, 1.0 / self.fps, axis=0).astype(np.float32)
+            v = np.gradient(p, 1.0 / self.fps, axis=0)
+            self._gv = self._smooth_frames(v).astype(np.float32)
         return self._gv
 
     @property
     def global_angular_velocity(self) -> np.ndarray:
         if self._gav is None:
             r = self.global_rotation  # (F, J, 4)
-            # dq = q[t+1] * conj(q[t]); omega = axis*angle*fps
+            # dq = q[t+1] * conj(q[t]); omega = axis*angle*fps.  The last
+            # frame's dq stays identity (zero velocity), as in the reference.
             conj = r[:-1] * np.array([-1.0, -1.0, -1.0, 1.0], np.float32)
             dq = _np_quat_mul(r[1:], conj)
             angle, axis = _np_quat_to_angle_axis(dq)
             w = axis * angle[..., None] * self.fps
-            self._gav = np.concatenate([w, w[-1:]], axis=0).astype(np.float32)
+            w = np.concatenate([w, np.zeros_like(w[-1:])], axis=0)
+            self._gav = self._smooth_frames(w).astype(np.float32)
         return self._gav
 
     @property
