@@ -111,7 +111,8 @@ class _FactorySandbox(TaskEnv):
             else:
                 bb = _add_cylinder_actor(fb, name, radius, height, mass, fixed=fixed)
             if not fixed:
-                self.obj_actors.append((len(fb.actor_roots) - 1, height))
+                self.obj_actors.append((len(fb.actor_roots) - 1, height, TABLE_H))
+        self._extra_scene(fb, finfo)
         fb.gravity = np.array(self.gravity)
         self.model = attach_effective_masses(fb.finalize())
         # middle-of-limits arm pose (ref factory_task_insertion.py:143-150)
@@ -121,6 +122,9 @@ class _FactorySandbox(TaskEnv):
         self.default_dof = jnp.array(list(mid) + [0.02, 0.02], jnp.float32)
         self.dof_lower = jnp.asarray(self.model.dof_lower)
         self.dof_upper = jnp.asarray(self.model.dof_upper)
+
+    def _extra_scene(self, fb, finfo):
+        """Subclass hook: add non-primitive scene objects before finalize."""
 
     def _initial_ts(self, key):
         n = self.num_envs
@@ -144,7 +148,7 @@ class _FactorySandbox(TaskEnv):
         )
         rs = root_state(m, sim)
         keys = jax.random.split(k_obj, max(len(self.obj_actors), 1))
-        for (actor, height), kk in zip(self.obj_actors, keys):
+        for (actor, height, z_base), kk in zip(self.obj_actors, keys):
             noise = self.obj_noise_xy * jax.random.uniform(
                 kk, (n, 2), minval=-1.0, maxval=1.0
             )
@@ -152,7 +156,7 @@ class _FactorySandbox(TaskEnv):
                 jnp.zeros((n, 13))
                 .at[:, 0].set(noise[:, 0])
                 .at[:, 1].set(self.obj_bias_y + noise[:, 1])
-                .at[:, 2].set(TABLE_H + self.obj_bias_z + height / 2 + 0.001)
+                .at[:, 2].set(z_base + self.obj_bias_z + height / 2 + 0.001)
                 .at[:, 6].set(1.0)
             )
             rs = rs.at[:, actor].set(jnp.where(mm, obj, rs[:, actor]))
@@ -183,11 +187,68 @@ class _FactorySandbox(TaskEnv):
 
 @register("FactoryTaskInsertion")
 class FactoryTaskInsertion(_FactorySandbox):
-    # round peg (m16-class) + fixed socket (ref factory_env_insertion.py)
-    objects = (
-        ("plug", 0.008, 0.05, 0.019, False),
-        ("socket", 0.011, 0.02, 0.028, True),
-    )
+    """Round peg + socket plate with a REAL mesh SDF collider.
+
+    The socket is the reference's `factory_round_hole_8mm` mesh voxelized
+    into a signed-distance grid (physics/sdf.py — the PhysX SDF collision
+    equivalent, ref: factory_env_insertion.py assets + factory_base.py:483);
+    the plug is the matching 8 mm round peg as a ring-of-spheres cylinder
+    that can genuinely enter the hole.  Task logic stays the reference's
+    sandbox contract (zero obs/reward — its `_update_rew_buf` is `pass`)."""
+
+    objects = ()
+
+    def _extra_scene(self, fb, finfo):
+        from isaacgymenv_tpu.physics import sdf as sdf_mod
+        from isaacgymenv_tpu.physics.types import JT_FIXED, JT_FREE
+
+        mesh_dir = os.path.join(asset_root(), "factory/mesh/factory_insertion")
+        hv, hf = sdf_mod.load_obj(
+            os.path.join(mesh_dir, "factory_round_hole_8mm_subdiv_3x.obj")
+        )
+        dist, origin, spacing = sdf_mod.mesh_sdf_grid(hv, hf, res=64)
+        plate_h = float(hv.max(0)[2] - hv.min(0)[2])
+        socket = fb.add_body(
+            "socket", -1, JT_FIXED,
+            joint_pos=(0.0, self.obj_bias_y, TABLE_H - float(hv.min(0)[2])),
+            mass=0.028,
+            inertia=B.box_inertia(0.028, 0.025, 0.025, plate_h),
+        )
+        fb.add_sdf(socket, dist, origin, spacing, friction=1.0)
+
+        pv, _pf = sdf_mod.load_obj(
+            os.path.join(mesh_dir, "factory_round_peg_8mm_loose.obj")
+        )
+        rp = float(pv.max(0)[0])          # 4 mm shaft radius
+        ph = float(pv.max(0)[2] - pv.min(0)[2])  # 50 mm length
+        mass = 0.019
+        plug = fb.add_body(
+            "plug", -1, JT_FREE, mass=mass,
+            inertia=B.cylinder_inertia(mass, rp, ph),
+        )
+        fb.add_surface(
+            plug, B.ModelBuilder.SURF_CYLINDER, (0, 0, 0), None, (rp, ph / 2, 0)
+        )
+        # shaft as sphere rings: effective surface radius slightly under the
+        # shaft (penalty contacts carry ~0.5 mm under load; keeps the loose
+        # fit insertable through the trilinear-smoothed hole wall)
+        rs = 0.0015
+        ring_r = rp - rs - 0.0008
+        # ring spacing below the socket plate thickness (9 mm) near the tip,
+        # so the bore always constrains at least one ring during insertion
+        tip = -ph / 2 + rs
+        ring_zs = [tip + dz for dz in (0.0, 0.005, 0.010, 0.015, 0.020, 0.025)]
+        ring_zs += [ph / 2 - rs - 0.01, ph / 2 - rs]
+        for z in ring_zs:
+            for ang in np.linspace(0, 2 * math.pi, 6, endpoint=False):
+                fb.add_geom_sphere(
+                    plug, (ring_r * math.cos(ang), ring_r * math.sin(ang), z), rs
+                )
+        fb.add_geom_sphere(plug, (0.0, 0.0, tip), rs)  # tip
+        # plug resets above the socket plate (z_base = plate top)
+        self.obj_actors.append(
+            (len(fb.actor_roots) - 1, ph, TABLE_H + plate_h)
+        )
 
 
 @register("FactoryTaskGears")

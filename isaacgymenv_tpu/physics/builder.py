@@ -102,6 +102,7 @@ class ModelBuilder:
         self.geom_radius: List[float] = []
         self.geom_friction: List[float] = []
         self.surfaces: List[tuple] = []  # (body, kind, offset, rotm, size, friction)
+        self.sdfs: List[tuple] = []      # (body, dist grid, origin, spacing, friction)
         self.anchors: List[tuple] = []   # (body, offset, world target)
         self.tendons: List[tuple] = []   # (joint names, coefs, lo, hi, k, d)
         self.gravity = np.array([0.0, 0.0, -9.81])
@@ -179,6 +180,23 @@ class ModelBuilder:
             (int(body), np.asarray(offset, np.float64), np.asarray(target, np.float64))
         )
 
+    def add_sdf(self, body: int, dist, origin, spacing: float, friction: float = 1.0):
+        """Attach a signed-distance voxel grid to a body (PhysX SDF mesh
+        collision equivalent; build grids with `sdf.mesh_sdf_grid`).
+
+        Contact spheres of OTHER actors collide against it (subject to
+        `pair_filter`).  dist: (D, H, W) signed distances in the body frame;
+        origin: grid [0,0,0] corner in the body frame; spacing: m/cell."""
+        self.sdfs.append(
+            (
+                int(body),
+                np.asarray(dist, np.float32),
+                np.asarray(origin, np.float64),
+                float(spacing),
+                float(friction),
+            )
+        )
+
     def add_surface(
         self,
         body: int,
@@ -224,6 +242,7 @@ class ModelBuilder:
             (s[0] + off, s[1], s[2], s[3], s[4], s[5]) for s in other.surfaces
         ]
         self.anchors += [(a[0] + off, a[1], a[2]) for a in other.anchors]
+        self.sdfs += [(s[0] + off, s[1], s[2], s[3], s[4]) for s in other.sdfs]
         self.tendons += list(other.tendons)  # joint names stay valid
         return off
 
@@ -313,6 +332,7 @@ class ModelBuilder:
             tangential_stiffness=jnp.array(self.tangential_stiffness, dtype),
             **self._surface_fields(dtype),
             **self._anchor_fields(dtype),
+            **self._sdf_fields(dtype),
             **self._tendon_fields(dof_names, dtype),
             **(
                 {"body_gravcomp": jnp.array([b.gravcomp for b in self.bodies], dtype)}
@@ -346,6 +366,33 @@ class ModelBuilder:
             anchor_target=jnp.array(np.stack([a[2] for a in self.anchors]), dtype),
             anchor_meff=jnp.array(
                 [max(self.bodies[a[0]].mass, 1e-3) for a in self.anchors], dtype
+            ),
+        )
+
+    def _sdf_fields(self, dtype):
+        """SDF grids + per-SDF cross-actor geom pair lists."""
+        nf = len(self.sdfs)
+        if nf == 0:
+            return {}
+        actor_of_body = [self.body_actor(i) for i in range(len(self.bodies))]
+        pair_geom = []
+        for sb, *_rest in self.sdfs:
+            pg = [
+                g
+                for g, gb in enumerate(self.geom_body)
+                if actor_of_body[gb] != actor_of_body[sb]
+                and (self.pair_filter is None or self.pair_filter(gb, sb))
+            ]
+            pair_geom.append(tuple(pg))
+        return dict(
+            sdf_body=tuple(s[0] for s in self.sdfs),
+            sdf_pair_geom=tuple(pair_geom),
+            sdf_dist=tuple(jnp.asarray(s[1], dtype) for s in self.sdfs),
+            sdf_origin=jnp.array(np.stack([s[2] for s in self.sdfs]), dtype),
+            sdf_spacing=jnp.array([s[3] for s in self.sdfs], dtype),
+            sdf_friction=jnp.array([s[4] for s in self.sdfs], dtype),
+            sdf_meff=jnp.array(
+                [max(self.bodies[s[0]].mass, 1e-3) for s in self.sdfs], dtype
             ),
         )
 

@@ -89,7 +89,7 @@ def pair_active(model, geom_pos_w, body_pos_w, body_R_w) -> Optional[jnp.ndarray
     return (model.geom_radius[pg] - d_surf) > 0.0
 
 
-def body_active_counts(model, act_g, act_p, batch_shape) -> jnp.ndarray:
+def body_active_counts(model, act_g, act_p, batch_shape, act_sdf=None) -> jnp.ndarray:
     """(..., nb) number of currently-active contacts loading each body.
 
     The per-contact stiffness/impulse caps are m_eff/h^2- and m_eff/h-shaped;
@@ -108,6 +108,16 @@ def body_active_counts(model, act_g, act_p, batch_shape) -> jnp.ndarray:
         ap = act_p.astype(jnp.float32)
         counts = counts.at[..., pgb].add(ap)
         counts = counts.at[..., psb].add(ap)
+    if act_sdf is not None:
+        for k, a in enumerate(act_sdf):
+            if a is None:
+                continue
+            fgb = jnp.array(
+                [model.geom_body[g] for g in model.sdf_pair_geom[k]], jnp.int32
+            )
+            af = a.astype(jnp.float32)
+            counts = counts.at[..., fgb].add(af)
+            counts = counts.at[..., model.sdf_body[k]].add(jnp.sum(af, axis=-1))
     return jnp.maximum(counts, 1.0)
 
 
@@ -378,6 +388,134 @@ def pair_contact_forces(
     body_torque = body_torque.at[..., gb, :].add(jnp.cross(lever_g, f))
     body_force = body_force.at[..., sb, :].add(-f)
     body_torque = body_torque.at[..., sb, :].add(jnp.cross(lever_s, -f))
+    f_ext = jnp.concatenate([body_torque, body_force], axis=-1)
+    return f_ext, body_force
+
+
+def _sdf_queries(model, geom_pos_w, body_pos_w, body_R_w):
+    """Per-SDF trilinear (depth, world normal, gathered indices) lists.
+
+    Shared by sdf_active and sdf_contact_forces; XLA CSEs the duplicate."""
+    from isaacgymenv_tpu.physics import sdf as sdf_mod
+
+    out = []
+    for k in range(model.n_sdf):
+        pg = jnp.array(model.sdf_pair_geom[k], jnp.int32)
+        if len(model.sdf_pair_geom[k]) == 0:
+            out.append(None)
+            continue
+        b = model.sdf_body[k]
+        Rb = body_R_w[..., b, :, :]
+        c = geom_pos_w[..., pg, :]
+        local = jnp.einsum(
+            "...ji,...nj->...ni", Rb, c - body_pos_w[..., b, None, :]
+        )
+        d, grad = sdf_mod.sdf_query(
+            model.sdf_dist[k],
+            model.sdf_origin[k],
+            model.sdf_spacing[k],
+            local,
+        )
+        n_local = grad / jnp.maximum(
+            jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9
+        )
+        n_world = jnp.einsum("...ij,...nj->...ni", Rb, n_local)
+        depth = model.geom_radius[pg] - d
+        out.append((pg, depth, n_world, c))
+    return out
+
+
+def sdf_active(model, geom_pos_w, body_pos_w, body_R_w):
+    """Per-SDF active-contact masks (for body_active_counts)."""
+    acts = []
+    for q in _sdf_queries(model, geom_pos_w, body_pos_w, body_R_w):
+        acts.append(None if q is None else (q[1] > 0.0))
+    return acts
+
+
+def sdf_contact_forces(
+    model,
+    geom_pos_w: jnp.ndarray,   # (..., ng, 3)
+    body_pos_w: jnp.ndarray,   # (..., nb, 3)
+    body_R_w: jnp.ndarray,     # (..., nb, 3, 3)
+    body_lin_w: jnp.ndarray,
+    body_ang_w: jnp.ndarray,
+    h: float,
+    n_active: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Contact spheres vs signed-distance-field mesh colliders.
+
+    The PhysX SDF mesh collision equivalent (ref: factory_base.py:483):
+    trilinear grid query gives penetration depth + normal; the force law is
+    the same Hunt-Crossley + momentum-capped stiction as the primitive-pair
+    path, equal-and-opposite between the sphere's body and the SDF's body.
+    Returns (f_ext (..., nb, 6), body_contact_force (..., nb, 3)).
+    """
+    nb = model.nb
+    batch = geom_pos_w.shape[:-2]
+    body_force = jnp.zeros(batch + (nb, 3), geom_pos_w.dtype)
+    body_torque = jnp.zeros(batch + (nb, 3), geom_pos_w.dtype)
+
+    kn = model.contact_stiffness
+    kd = model.contact_damping
+    kt = model.tangential_stiffness
+    queries = _sdf_queries(model, geom_pos_w, body_pos_w, body_R_w)
+    for k, q in enumerate(queries):
+        if q is None:
+            continue
+        pg, depth, n, c = q
+        sb = model.sdf_body[k]
+        gb = jnp.array([model.geom_body[g] for g in model.sdf_pair_geom[k]], jnp.int32)
+        r = model.geom_radius[pg]
+        active = depth > 0.0
+
+        x_c = c - n * r[..., None]
+        lever_g = x_c - body_pos_w[..., gb, :]
+        lever_s = x_c - body_pos_w[..., sb, None, :]
+        v_g = body_lin_w[..., gb, :] + jnp.cross(body_ang_w[..., gb, :], lever_g)
+        v_s = body_lin_w[..., sb, None, :] + jnp.cross(
+            body_ang_w[..., sb, None, :], lever_s
+        )
+        v_rel = v_g - v_s
+        v_n = jnp.sum(v_rel * n, axis=-1)
+        v_t = v_rel - v_n[..., None] * n
+        vt_norm = jnp.linalg.norm(v_t, axis=-1)
+
+        if n_active is not None:
+            share_g = 1.0 / n_active[..., gb]
+            share_s = 1.0 / n_active[..., sb, None]
+        else:
+            share_g = share_s = 1.0
+        m_g = model.geom_meff[..., pg] * share_g
+        m_s = model.sdf_meff[k] * share_s
+        m_pair = m_g * m_s / (m_g + m_s)
+        kappa = 0.25
+        arrest = kappa * m_pair / h
+        m_g_el = (
+            model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff
+        )[..., pg] * share_g
+        m_s_el = (
+            model.sdf_meff_el if model.sdf_meff_el is not None else model.sdf_meff
+        )[k] * share_s
+        m_pair_el = m_g_el * m_s_el / (m_g_el + m_s_el)
+        kn_eff = jnp.minimum(kn, m_pair_el / (h * h))
+
+        d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
+        f_damp = jnp.minimum(kd * d_pos, arrest) * (-v_n)
+        fn = jnp.maximum(kn_eff * d_pos + f_damp, 0.0)
+        fn = jnp.where(active, fn, 0.0)
+
+        mu = jnp.sqrt(model.geom_friction[..., pg] * model.sdf_friction[k])
+        ft_mag = jnp.minimum(jnp.minimum(arrest, kt) * vt_norm, mu * fn)
+        ft = -v_t / jnp.maximum(vt_norm, 1e-6)[..., None] * ft_mag[..., None]
+        f = fn[..., None] * n + ft  # force ON the sphere body
+
+        body_force = body_force.at[..., gb, :].add(f)
+        body_torque = body_torque.at[..., gb, :].add(jnp.cross(lever_g, f))
+        body_force = body_force.at[..., sb, :].add(-jnp.sum(f, axis=-2))
+        body_torque = body_torque.at[..., sb, :].add(
+            -jnp.sum(jnp.cross(lever_s, f), axis=-2)
+        )
     f_ext = jnp.concatenate([body_torque, body_force], axis=-1)
     return f_ext, body_force
 

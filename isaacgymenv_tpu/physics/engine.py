@@ -206,8 +206,12 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     # stiffness/impulse budget (XLA CSEs the duplicated penetration queries)
     act_g = contact_mod.ground_active(model, terrain, geom_pos_w)
     act_p = contact_mod.pair_active(model, geom_pos_w, body_pos_w, R_w)
+    act_s = (
+        contact_mod.sdf_active(model, geom_pos_w, body_pos_w, R_w)
+        if model.n_sdf else None
+    )
     n_act = contact_mod.body_active_counts(
-        model, act_g, act_p, geom_pos_w.shape[:-2]
+        model, act_g, act_p, geom_pos_w.shape[:-2], act_sdf=act_s
     )
     f_ext, body_cf = contact_mod.contact_forces(
         model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt, n_active=n_act
@@ -219,6 +223,13 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         )
         f_ext = f_ext + f_pair
         body_cf = body_cf + cf_pair
+    if model.n_sdf:
+        f_sdf, cf_sdf = contact_mod.sdf_contact_forces(
+            model, geom_pos_w, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt,
+            n_active=n_act,
+        )
+        f_ext = f_ext + f_sdf
+        body_cf = body_cf + cf_sdf
     if model.anchor_body:
         f_ext = f_ext + contact_mod.anchor_forces(
             model, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt

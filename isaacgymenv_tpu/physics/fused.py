@@ -78,6 +78,9 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     """
     if any(jt not in (JT_FREE, JT_REVOLUTE, JT_PRISMATIC, JT_FIXED) for jt in model.jtype):
         return False
+    # SDF mesh colliders (grid gathers) run on the XLA path
+    if model.n_sdf:
+        return False
     # free joints are only fused at actor roots (the ABA backward pass
     # terminates articulated propagation there); mid-chain free joints fall
     # back to the XLA path

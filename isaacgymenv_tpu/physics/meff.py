@@ -79,4 +79,19 @@ def attach_effective_masses(model: SimModel, q0: np.ndarray | None = None) -> Si
             surf_meff=jnp.array(smeff, jnp.float32),
             surf_meff_el=jnp.array(smeff_el, jnp.float32),
         )
+
+    # SDF-side effective masses (at the body origin; SDF colliders are
+    # whole-body meshes, the origin is the best single-point estimate)
+    if model.sdf_body:
+        fmeff, fmeff_el = [], []
+        for b in model.sdf_body:
+            J = kinematics.body_jacobian(model, kin, b, kin.p_w[b][0][None])[0]
+            lam = J[0:3] @ Minv @ J[0:3].T
+            m_dir = 1.0 / jnp.maximum(jnp.diagonal(lam), 1e-6)
+            fmeff.append(float(jnp.clip(jnp.min(m_dir), 1e-3, 1e4)))
+            fmeff_el.append(float(jnp.clip(jnp.max(m_dir), 1e-3, 1e4)))
+        model = model.replace(
+            sdf_meff=jnp.array(fmeff, jnp.float32),
+            sdf_meff_el=jnp.array(fmeff_el, jnp.float32),
+        )
     return model

@@ -162,6 +162,22 @@ class SimModel:
     # tasks/ball_balance.py:271 tray sensor) ---
     sensor_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
 
+    # --- static signed-distance-field mesh colliders (PhysX SDF mesh
+    # collision equivalent, ref: factory/factory_base.py:483): per-SDF voxel
+    # distance grid rigidly attached to a body; contact spheres of OTHER
+    # actors query it trilinearly (physics/sdf.py, contact.sdf_contact_forces).
+    # Grids may differ in resolution, so they are a tuple of leaves. ---
+    sdf_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    sdf_pair_geom: Tuple[Tuple[int, ...], ...] = struct.field(
+        pytree_node=False, default=()
+    )  # per-SDF geom indices colliding against it
+    sdf_dist: Tuple[jnp.ndarray, ...] = ()  # per-SDF (D, H, W) signed distances
+    sdf_origin: Optional[jnp.ndarray] = None   # (nf, 3) grid origin, body frame
+    sdf_spacing: Optional[jnp.ndarray] = None  # (nf,) meters per cell
+    sdf_friction: Optional[jnp.ndarray] = None  # (nf,)
+    sdf_meff: Optional[jnp.ndarray] = None      # (nf,) effective mass
+    sdf_meff_el: Optional[jnp.ndarray] = None   # (nf,) elastic-cap mass
+
     @property
     def ng(self) -> int:
         return len(self.geom_body)
@@ -169,6 +185,10 @@ class SimModel:
     @property
     def n_pairs(self) -> int:
         return len(self.pair_geom)
+
+    @property
+    def n_sdf(self) -> int:
+        return len(self.sdf_body)
 
     @property
     def n_actors(self) -> int:
