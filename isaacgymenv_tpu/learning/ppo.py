@@ -194,8 +194,8 @@ class PPO:
             epoch=jnp.asarray(0, jnp.int32),
             ep_return=jnp.zeros(N),
             ep_length=jnp.zeros(N),
-            mean_return=jnp.asarray(0.0),
-            mean_length=jnp.asarray(0.0),
+            mean_return=jnp.zeros((), jnp.float32),
+            mean_length=jnp.zeros((), jnp.float32),
         )
 
     # ------------------------------------------------------------------
