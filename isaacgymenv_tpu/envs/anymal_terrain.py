@@ -245,6 +245,7 @@ class AnymalTerrain(TaskEnv):
             "feet_air_time": jnp.zeros((n, len(self.feet_indices))),
             "terrain_levels": levels,
             "terrain_types": types,
+            "last_reset_distance": jnp.zeros(()),
             "common_step": jnp.zeros((), jnp.int32),
             "init_done": jnp.zeros((), bool),
         }
@@ -290,6 +291,13 @@ class AnymalTerrain(TaskEnv):
             lv = lv + jnp.where(do_update & (distance > self.env_length / 2), 1, 0)
             lv = jnp.clip(lv, 0, None) % self.num_levels
             ts["terrain_levels"] = lv
+            # diagnostic channel: mean distance walked by envs resetting now
+            # (the quantity the curriculum promotes on; threshold env_length/2)
+            nm = jnp.maximum(mask.sum(), 1)
+            ts["last_reset_distance"] = jnp.where(
+                mask.any(), (distance * mask).sum() / nm,
+                ts["last_reset_distance"],
+            )
 
         new_pos = self.default_dof_pos * jax.random.uniform(
             k_pos, (n, m.nd), minval=0.5, maxval=1.5
@@ -488,5 +496,6 @@ class AnymalTerrain(TaskEnv):
                 done.any(), (s * done).sum() / n_done / self.max_episode_length_s, 0.0
             )
         info["terrain_level"] = ts["terrain_levels"].astype(jnp.float32).mean()
+        info["distance_walked"] = ts["last_reset_distance"]
         state = state.replace(ts=ts)
         return state, total, done, {"episode": info}

@@ -36,13 +36,30 @@ _ENV_SIZED_FIELDS = frozenset({
 })
 
 
-def save_train_state(ts, path: str) -> None:
-    host = jax.tree.map(lambda x: np.asarray(x), ts)
+# bulky non-model fields (replay rings scale with capacity x obs dim —
+# hundreds of MB) dropped from slim checkpoints: a best-by-reward snapshot
+# is for evaluation/deployment, and pulling the full ring through a remote
+# device tunnel on EVERY improving epoch collapsed training throughput
+_SLIM_DROP_FIELDS = frozenset({"replay", "env_state"})
+
+
+def save_train_state(ts, path: str, slim: bool = False) -> None:
+    if slim:
+        drop = {
+            f: None for f in _SLIM_DROP_FIELDS
+            if getattr(ts, f, None) is not None
+        }
+        if drop:
+            ts = ts.replace(**drop)
+    # one batched transfer (per-leaf np.asarray pays a device round-trip
+    # per leaf — ruinous through a remote device tunnel)
+    host = jax.device_get(ts)
     payload = {
         "format": _FORMAT,
         "version": _VERSION,
         "state_cls": type(ts).__name__,
         "state": host,
+        "slim": slim,
     }
     # atomic write: PBT peers read checkpoints from the shared workspace
     # concurrently — a direct write would expose partial pickles
@@ -52,6 +69,24 @@ def save_train_state(ts, path: str) -> None:
     import os
 
     os.replace(tmp, path)
+
+
+def refill_slim(agent, ts, seed: int = 0):
+    """Refill fields dropped by a slim save before resuming TRAINING.
+
+    Slim (best-by-reward) checkpoints drop the replay ring and live env
+    state; a fresh `agent.init(seed)` provides replacements (empty ring,
+    re-reset envs) while the loaded params/optimizer/normalizers are kept.
+    No-op for full checkpoints.
+    """
+    missing = [
+        f for f in _SLIM_DROP_FIELDS
+        if hasattr(ts, f) and getattr(ts, f) is None
+    ]
+    if not missing:
+        return ts
+    fresh = agent.init(seed)
+    return ts.replace(**{f: getattr(fresh, f) for f in missing})
 
 
 def _validate_against(agent, ts) -> None:

@@ -186,7 +186,10 @@ def main(argv=None):
 
     init_ts = None
     if checkpoint:
+        from isaacgymenv_tpu.learning.checkpoint import refill_slim
+
         init_ts = load_train_state(agent, checkpoint)
+        init_ts = refill_slim(agent, init_ts, seed)
         if use_dist:
             init_ts = agent.shard_state(init_ts)
         if pbt_restart and hasattr(init_ts, "lr"):
@@ -244,7 +247,13 @@ def main(argv=None):
         r = float(info.get("mean_return", 0.0))
         if ep >= save_best_after and r > best_state["return"]:
             best_state["return"] = r
-            save_train_state(ts, os.path.join(run_dir, "nn", f"{experiment}_best.ckpt"))
+            # slim: params/stats only — a full-state save on every improving
+            # epoch (replay ring + env state through the device tunnel)
+            # collapsed training throughput once returns rose monotonically
+            save_train_state(
+                ts, os.path.join(run_dir, "nn", f"{experiment}_best.ckpt"),
+                slim=True,
+            )
 
     def callback(ep, ts, info):
         obs_callback(ep, ts, info)

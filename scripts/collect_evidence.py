@@ -38,11 +38,47 @@ def parse_log(path):
     return rows
 
 
+# task-quality TB channels worth surfacing per run (episode metrics written
+# by the TensorBoardObserver; the in-env eval instrumentation the reference
+# validates with — SURVEY.md §4)
+_TB_CHANNELS = [
+    "consecutive_successes",
+    "episode/terrain_level",
+    "episode/distance_walked",
+    "disc_reward",
+    "mean_length",
+]
+
+
+def tb_channels(run_dir: str) -> dict:
+    """Last value of each interesting TB scalar for runs/<name>/summaries."""
+    d = os.path.join(run_dir, "summaries")
+    if not os.path.isdir(d):
+        return {}
+    try:
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+    except ImportError:
+        return {}
+    ea = EventAccumulator(d)
+    ea.Reload()
+    out = {}
+    for tag in _TB_CHANNELS:
+        if tag in ea.Tags()["scalars"]:
+            ev = ea.Scalars(tag)
+            out[tag] = (ev[0].value, max(e.value for e in ev), ev[-1].value)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logs", default="runs/logs")
+    ap.add_argument("--runs", default=None, help="runs dir for TB summaries "
+                    "(default: parent of --logs)")
     ap.add_argument("--out", default="docs/evidence")
     args = ap.parse_args()
+    runs_dir = args.runs or os.path.dirname(os.path.abspath(args.logs))
     os.makedirs(args.out, exist_ok=True)
     summary = []
     for fn in sorted(os.listdir(args.logs)):
@@ -57,15 +93,25 @@ def main():
             w.writerow(["epoch", "mean_return", "mean_ep_length", "fps_total"])
             w.writerows(rows)
         best = max(r[1] for r in rows)
+        chans = tb_channels(os.path.join(runs_dir, name))
+        extra = "; ".join(
+            f"{k.split('/')[-1]} {v[0]:.2f}→{v[2]:.2f} (best {v[1]:.2f})"
+            for k, v in chans.items() if k != "mean_length"
+        )
         summary.append(
-            (name, rows[0][1], rows[-1][1], best, rows[-1][0], rows[-1][3])
+            (name, rows[0][1], rows[-1][1], best, rows[-1][0], rows[-1][3],
+             rows[-1][2], extra)
         )
     with open(os.path.join(args.out, "SUMMARY.md"), "w") as f:
         f.write("# Learning evidence (single TPU chip)\n\n")
-        f.write("| run | first return | final return | best return | epochs | fps_total |\n")
-        f.write("|---|---|---|---|---|---|\n")
-        for name, first, final, best, ep, fps in summary:
-            f.write(f"| {name} | {first:.2f} | {final:.2f} | {best:.2f} | {ep} | {fps:,} |\n")
+        f.write("| run | first return | final return | best return | final ep len "
+                "| epochs | fps_total | task metrics (first→last) |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for name, first, final, best, ep, fps, eplen, extra in summary:
+            f.write(
+                f"| {name} | {first:.2f} | {final:.2f} | {best:.2f} | {eplen:.0f} "
+                f"| {ep} | {fps:,} | {extra} |\n"
+            )
     for s in summary:
         print(s)
 

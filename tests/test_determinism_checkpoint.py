@@ -67,6 +67,46 @@ def test_checkpoint_roundtrip_resumes_training(tmp_path):
     assert changed
 
 
+def test_slim_checkpoint_roundtrip(tmp_path):
+    """Slim (best-by-reward) saves drop bulky replay/env-state fields; loading
+    one and refilling resumes training (train.py's checkpoint= path)."""
+    from isaacgymenv_tpu.envs.registry import get_task
+    from isaacgymenv_tpu.learning.checkpoint import (
+        load_train_state,
+        refill_slim,
+        save_train_state,
+    )
+    from isaacgymenv_tpu.learning.sac import SAC
+    from isaacgymenv_tpu.utils.config import load_task_config, load_train_config
+
+    cfg = load_task_config("Cartpole", num_envs=8)
+    env = get_task("Cartpole")(cfg)
+    tc = load_train_config("Cartpole", name="AntSAC")
+    tc["params"]["config"].update(
+        {"replay_buffer_size": 262144, "batch_size": 64, "num_warmup_steps": 4}
+    )
+    agent = SAC(env, tc)
+    ts = agent.init(0)
+    ts, _ = agent.train_epoch(ts)
+
+    full, slim = str(tmp_path / "full.ckpt"), str(tmp_path / "slim.ckpt")
+    save_train_state(ts, full)
+    save_train_state(ts, slim, slim=True)
+    # the point of slim: the replay ring (capacity x obs) dominates the file
+    assert os.path.getsize(slim) < os.path.getsize(full) / 2
+
+    ts2 = load_train_state(agent, slim)
+    assert ts2.replay is None
+    for a, b in zip(jax.tree.leaves(ts.actor), jax.tree.leaves(ts2.actor)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # refill + resume training
+    ts3 = refill_slim(agent, ts2, seed=0)
+    assert ts3.replay is not None
+    ts4, info = agent.train_epoch(ts3)
+    assert all(np.isfinite(float(v)) for v in jax.device_get(info).values()
+               if np.ndim(v) == 0)
+
+
 def test_checkpoint_validation_rejects_mismatched_network(tmp_path):
     """Loading a checkpoint saved by a differently-sized network fails AT THE
     BOUNDARY with a clear error (not deep inside jax)."""
