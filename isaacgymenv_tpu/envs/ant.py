@@ -101,7 +101,7 @@ class Ant(TaskEnv):
         contact = cfg.get("sim", {}).get("contact", {})
         mb.contact_stiffness = float(contact.get("stiffness", 1000.0))
         mb.contact_damping = float(contact.get("damping", 30000.0))
-        mb.tangential_stiffness = float(contact.get("tangential_stiffness", 150.0))
+        mb.tangential_stiffness = float(contact.get("tangential_stiffness", 1.0e6))
         mb.gravity = np.array(self.gravity)
         self.model = mb.finalize()
         from isaacgymenv_tpu.physics.meff import attach_effective_masses

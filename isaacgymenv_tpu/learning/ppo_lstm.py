@@ -116,8 +116,10 @@ class LSTMPPO(PPO):
             ep_len = ep_len + 1.0
             d = done.astype(jnp.float32)
             n_done = jnp.maximum(d.sum(), 1.0)
-            m_ret = jnp.where(d.sum() > 0, 0.99 * m_ret + 0.01 * (ep_ret * d).sum() / n_done, m_ret)
-            m_len = jnp.where(d.sum() > 0, 0.99 * m_len + 0.01 * (ep_len * d).sum() / n_done, m_len)
+            # count-weighted EMA (one decay per finished episode; see ppo.py)
+            a = jnp.power(0.99, d.sum())
+            m_ret = a * m_ret + (1.0 - a) * (ep_ret * d).sum() / n_done
+            m_len = a * m_len + (1.0 - a) * (ep_len * d).sum() / n_done
             ep_ret = ep_ret * (1.0 - d)
             ep_len = ep_len * (1.0 - d)
 

@@ -121,6 +121,40 @@ def body_active_counts(model, act_g, act_p, batch_shape, act_sdf=None) -> jnp.nd
     return jnp.maximum(counts, 1.0)
 
 
+def stiction_force(slip, v_t, n, fn, mu, kt_el, ct, h, active):
+    """Anchored-spring stiction with Coulomb-cone projection.
+
+    slip is the tangential spring displacement state (..., k, 3).  Advance
+    it by the slip velocity, evaluate the spring-damper force, clamp to the
+    friction cone; while clamped the anchor slides so the SPRING alone sits
+    exactly at the cone boundary (elastoplastic bristle update).  A loaded
+    contact in stick carries any force <= mu*fn with ZERO steady-state creep
+    — the behavior PhysX gets from TGS position iterations, which a
+    viscous-only penalty law cannot reproduce (force ∝ slip velocity means
+    stance feet must skate to generate traction).
+
+    Returns (f_t (..., k, 3), slip_new (..., k, 3)).
+    """
+    s = slip + v_t * h
+    # keep the spring tangential as the contact normal evolves
+    s = s - jnp.sum(s * n, axis=-1, keepdims=True) * n
+    f_trial = -kt_el[..., None] * s - ct[..., None] * v_t
+    f_mag = jnp.linalg.norm(f_trial, axis=-1)
+    f_max = mu * fn
+    clamp = f_mag > f_max
+    scale = jnp.where(clamp, f_max / jnp.maximum(f_mag, 1e-9), 1.0)
+    f_t = f_trial * scale[..., None]
+    # slide the anchor: spring stretch consistent with the clamped force
+    s_new = jnp.where(
+        clamp[..., None],
+        -f_t / jnp.maximum(kt_el, 1e-9)[..., None],
+        s,
+    )
+    s_new = jnp.where(active[..., None], s_new, 0.0)
+    f_t = jnp.where(active[..., None], f_t, 0.0)
+    return f_t, s_new
+
+
 def contact_forces(
     model,
     terrain: Optional[Heightfield],
@@ -129,7 +163,9 @@ def contact_forces(
     body_pos_w: jnp.ndarray,   # (..., nb, 3) body origins (for torque levers)
     h: float = 1e-2,           # substep size (for impulse-capped damping)
     n_active: Optional[jnp.ndarray] = None,  # (..., nb) live contact counts
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    slip: Optional[jnp.ndarray] = None,      # (..., ng, 3) stiction state
+    geom_ang_w: Optional[jnp.ndarray] = None,  # (..., ng, 3) body angular vel
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute per-body external spatial forces from ground contact.
 
     Returns:
@@ -138,6 +174,7 @@ def contact_forces(
       body_contact_force: (..., nb, 3) net world contact force per body —
                    the `net_contact_force_tensor` equivalent used by
                    termination logic (ref: tasks/anymal.py:331-337).
+      slip_new: (..., ng, 3) advanced stiction state.
     """
     x, y, z = geom_pos_w[..., 0], geom_pos_w[..., 1], geom_pos_w[..., 2]
     hgt = height_at(terrain, x, y)
@@ -152,6 +189,10 @@ def contact_forces(
     kt = model.tangential_stiffness
 
     v = geom_vel_w
+    if geom_ang_w is not None:
+        # material velocity at the contact point (sphere bottom): rolling
+        # spheres have zero slip there, so stiction doesn't resist rolling
+        v = v + jnp.cross(geom_ang_w, -radius[..., None] * n)
     v_n = jnp.sum(v * n, axis=-1)
     v_t = v - v_n[..., None] * n
     vt_norm = jnp.linalg.norm(v_t, axis=-1)
@@ -192,17 +233,28 @@ def contact_forces(
     fn = jnp.where(active, fn, 0.0)
 
     mu = model.geom_friction
-    # near-ideal stiction: arrest tangential momentum, clamped to the
-    # Coulomb cone (replaces the tuned viscous kt; kt retained as a cap)
-    ft_mag = jnp.minimum(jnp.minimum(arrest, kt) * vt_norm, mu * fn)
-    ft = -v_t / jnp.maximum(vt_norm, 1e-6)[..., None] * ft_mag[..., None]
+    # anchored-spring stiction (see stiction_force).  Spring stiffness at
+    # the explicit stability bound for the MIN-direction effective mass
+    # (the swing-direction inertia is what the tangential DOF actually
+    # accelerates; the normal-direction m_el would overshoot omega*h);
+    # the legacy viscous kt is kept as a damping-slope cap only.
+    kt_el = jnp.broadcast_to(
+        jnp.minimum(kt, model.geom_meff * share / (h * h)), vt_norm.shape
+    )
+    ct = jnp.broadcast_to(jnp.minimum(arrest, kt), vt_norm.shape)
+    if slip is None:
+        slip = jnp.zeros(geom_pos_w.shape, geom_pos_w.dtype)
+    mu_b = jnp.broadcast_to(mu, vt_norm.shape)
+    ft, slip_new = stiction_force(slip, v_t, n, fn, mu_b, kt_el, ct, h, active)
 
     f_world = fn[..., None] * n + ft  # (..., ng, 3)
 
-    # scatter to bodies: static geom->body map
+    # scatter to bodies: static geom->body map.  Lever to the CONTACT POINT
+    # (sphere bottom): the normal force passes through the center either way
+    # (n x n = 0) but friction at the surface must torque the sphere.
     gb = jnp.array(model.geom_body, dtype=jnp.int32)
     nb = model.nb
-    lever = geom_pos_w - body_pos_w[..., gb, :]
+    lever = geom_pos_w - radius[..., None] * n - body_pos_w[..., gb, :]
     torque = jnp.cross(lever, f_world)
 
     batch = f_world.shape[:-2]
@@ -212,7 +264,7 @@ def contact_forces(
     body_torque = body_torque.at[..., gb, :].add(torque)
 
     f_ext_world = jnp.concatenate([body_torque, body_force], axis=-1)
-    return f_ext_world, body_force
+    return f_ext_world, body_force, slip_new
 
 
 def _surface_closest(kind_arr, local, size):
@@ -304,14 +356,15 @@ def pair_contact_forces(
     body_ang_w: jnp.ndarray,   # (..., nb, 3)
     h: float,
     n_active: Optional[jnp.ndarray] = None,  # (..., nb) live contact counts
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    slip: Optional[jnp.ndarray] = None,      # (..., np, 3) stiction state
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Body-vs-body contact via the static (sphere, surface) pair list.
 
-    Same Hunt-Crossley + momentum-capped stiction law as the ground contact;
+    Same Hunt-Crossley + anchored-spring stiction law as the ground contact;
     equal-and-opposite forces on both bodies.  Replaces PhysX's rigid-body
     pair contacts for the object-interaction tasks (ball_balance, shadow
     hand cube, franka cube stacking; SURVEY.md §2.1 scene composition).
-    Returns (f_ext (..., nb, 6), body_contact_force (..., nb, 3)).
+    Returns (f_ext (..., nb, 6), body_contact_force (..., nb, 3), slip_new).
     """
     pg = jnp.array(model.pair_geom, jnp.int32)
     ps = np.array(model.pair_surf)
@@ -376,8 +429,14 @@ def pair_contact_forces(
     mu = jnp.sqrt(
         model.geom_friction[..., pg] * model.surf_friction[ps]
     )
-    ft_mag = jnp.minimum(jnp.minimum(arrest, kt) * vt_norm, mu * fn)
-    ft = -v_t / jnp.maximum(vt_norm, 1e-6)[..., None] * ft_mag[..., None]
+    # anchored-spring stiction on the pair's reduced min-direction mass
+    # (see stiction_force / the ground path above)
+    kt_el = jnp.broadcast_to(jnp.minimum(kt, m_pair / (h * h)), vt_norm.shape)
+    ct = jnp.broadcast_to(jnp.minimum(arrest, kt), vt_norm.shape)
+    if slip is None:
+        slip = jnp.zeros(c.shape, c.dtype)
+    mu_b = jnp.broadcast_to(mu, vt_norm.shape)
+    ft, slip_new = stiction_force(slip, v_t, n, fn, mu_b, kt_el, ct, h, active)
     f = fn[..., None] * n + ft  # force ON the sphere body
 
     nb = model.nb
@@ -389,7 +448,7 @@ def pair_contact_forces(
     body_force = body_force.at[..., sb, :].add(-f)
     body_torque = body_torque.at[..., sb, :].add(jnp.cross(lever_s, -f))
     f_ext = jnp.concatenate([body_torque, body_force], axis=-1)
-    return f_ext, body_force
+    return f_ext, body_force, slip_new
 
 
 def _sdf_queries(model, geom_pos_w, body_pos_w, body_R_w):

@@ -213,13 +213,15 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     n_act = contact_mod.body_active_counts(
         model, act_g, act_p, geom_pos_w.shape[:-2], act_sdf=act_s
     )
-    f_ext, body_cf = contact_mod.contact_forces(
-        model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt, n_active=n_act
+    f_ext, body_cf, slip_g = contact_mod.contact_forces(
+        model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt, n_active=n_act,
+        slip=state.slip_g, geom_ang_w=body_ang_w[..., gb, :],
     )
+    slip_p = state.slip_p
     if model.n_pairs:
-        f_pair, cf_pair = contact_mod.pair_contact_forces(
+        f_pair, cf_pair, slip_p = contact_mod.pair_contact_forces(
             model, geom_pos_w, body_pos_w, R_w, body_lin_w, body_ang_w, h=dt,
-            n_active=n_act,
+            n_active=n_act, slip=state.slip_p,
         )
         f_ext = f_ext + f_pair
         body_cf = body_cf + cf_pair
@@ -293,6 +295,9 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         contact_torque=f_ext[..., :3] - (ctrl.body_wrench[..., :3] if ctrl.body_wrench is not None else 0.0),
         dof_force=tau_applied + tau_passive,
         joint_wrench=joint_wrench,
+        # geom-less models keep slip None (scan carries need stable pytrees)
+        slip_g=slip_g if model.ng else None,
+        slip_p=slip_p,
     )
 
 
@@ -319,6 +324,18 @@ def step(
         state = state.replace(
             joint_wrench=jnp.zeros(
                 state.q.shape[:-1] + (len(model.sensor_body), 6), state.q.dtype
+            )
+        )
+    # normalize stiction state (scan carries need a stable pytree structure;
+    # zeros = "no anchor yet", re-anchored on the first active substep)
+    if model.ng and state.slip_g is None:
+        state = state.replace(
+            slip_g=jnp.zeros(state.q.shape[:-1] + (model.ng, 3), state.q.dtype)
+        )
+    if model.n_pairs and state.slip_p is None:
+        state = state.replace(
+            slip_p=jnp.zeros(
+                state.q.shape[:-1] + (model.n_pairs, 3), state.q.dtype
             )
         )
     if _use_fused(model, terrain, ctrl, state):
@@ -377,13 +394,15 @@ def step(
             extras["dof_hi"] = model.dof_upper
         if grav_mode:
             extras["gravity"] = model.gravity
-        q_new, qd_new, dof_force, cf, ct, jw = run(
+        q_new, qd_new, dof_force, cf, ct, jw, slip_g, slip_p = run(
             state.q, state.qd, bc(ctrl.pos_target), bc(ctrl.vel_target),
-            bc(ctrl.effort), **extras,
+            bc(ctrl.effort), slip_g=state.slip_g, slip_p=state.slip_p,
+            **extras,
         )
         state = state.replace(
             q=q_new, qd=qd_new, dof_force=dof_force,
             contact_force=cf, contact_torque=ct, joint_wrench=jw,
+            slip_g=slip_g, slip_p=slip_p,
         )
         return forward(model, terrain, state)
     if substeps == 1:

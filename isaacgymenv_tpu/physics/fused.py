@@ -138,7 +138,7 @@ def _block_s(num_envs: int, model: SimModel) -> int:
     ~16MB scoped-vmem stack (big pair-contact scenes like ShadowHand)."""
     # live (S,128)-valued registers: FK/ABA state + slim contact caches
     V = (
-        20 * model.nb + 4 * model.ng + 5 * model.n_pairs
+        20 * model.nb + 7 * model.ng + 8 * model.n_pairs
         + 2 * (model.nq + model.nv + 2 * model.nd) + 300
     )
     budget = 14 * 1024 * 1024
@@ -505,16 +505,28 @@ def build_fused_substep(
         lo_ref = next(it) if dof_mode else None
         hi_ref = next(it) if dof_mode else None
         gv_ref = next(it) if grav_mode else None   # gravity (3,)
+        sg_ref = next(it) if ng else None          # stiction slip (ng*3,)
+        sp_ref = next(it) if n_pairs else None     # pair slip (n_pairs*3,)
         qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref = (next(it) for _ in range(5))
         jw_ref = next(it) if ns else None
+        sgo_ref = next(it) if ng else None
+        spo_ref = next(it) if n_pairs else None
         q = [q_ref[i] for i in range(nq)]
         qd = [qd_ref[i] for i in range(nv)]
         tgt = [tgt_ref[i] for i in range(nd)]
         vtgt = [vtgt_ref[i] for i in range(nd)]
         eff = [eff_ref[i] for i in range(nd)]
+        slip_g = [
+            (sg_ref[3 * g], sg_ref[3 * g + 1], sg_ref[3 * g + 2])
+            for g in range(ng)
+        ]
+        slip_p = [
+            (sp_ref[3 * p_], sp_ref[3 * p_ + 1], sp_ref[3 * p_ + 2])
+            for p_ in range(n_pairs)
+        ]
         zero = jnp.zeros_like(q_ref[0])
 
-        def substep(q, qd):
+        def substep(q, qd, slip_g, slip_p):
             # ---------------- FK ----------------
             R_l = [None] * nb
             p_l = [None] * nb
@@ -685,14 +697,19 @@ def build_fused_substep(
                 inv_nact[b] = 1.0 / jnp.maximum(nact[b], 1.0)
 
             # PASS 2 (ground): forces with renormalized budgets
+            slip_g_new = list(slip_g)
             for g, b, depth, active in ground_cache:
                 off_w = geom_off_w[g]
                 ang_w, lin_w = body_vel_w(b)
-                vel = _vadd(lin_w, _cross(ang_w, off_w))
                 if terrain_mode:
                     n_g = (gn_ref[3 * g], gn_ref[3 * g + 1], gn_ref[3 * g + 2])
                 else:
                     n_g = (0.0, 0.0, 1.0)
+                r_g = float(geom_r[g])
+                # material velocity at the CONTACT POINT (sphere bottom):
+                # rolling spheres have zero slip there (engine parity)
+                lever = tuple(off_w[k] - r_g * n_g[k] for k in range(3))
+                vel = _vadd(lin_w, _cross(ang_w, lever))
                 share = inv_nact[b]
                 meff_g = (me_ref[g] if mass_mode else float(geom_meff[g])) * share
                 arrest = 0.25 * meff_g / h
@@ -714,21 +731,45 @@ def build_fused_substep(
                 fn = jnp.where(
                     active, jnp.maximum(kn_eff * d_pos + f_damp, 0.0), 0.0
                 )
-                vt_norm = jnp.sqrt(
-                    v_t[0] * v_t[0] + v_t[1] * v_t[1] + v_t[2] * v_t[2]
-                )
                 mu = fr_ref[g] if fric_mode else float(geom_mu[g])
-                ft_mag = jnp.minimum(_smin(arrest, kt_c) * vt_norm, mu * fn)
-                scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
-                f_w = tuple(fn * n_g[k] - v_t[k] * scale for k in range(3))
-                torque = _cross(off_w, f_w)
+                # anchored-spring stiction (contact.stiction_force parity)
+                kt_el = _smin(kt_c, meff_g / (h * h))
+                ct_ = _smin(arrest, kt_c)
+                s = slip_g[g]
+                s = tuple(s[k] + v_t[k] * h for k in range(3))
+                s_dot_n = s[0] * n_g[0] + s[1] * n_g[1] + s[2] * n_g[2]
+                s = tuple(s[k] - s_dot_n * n_g[k] for k in range(3))
+                f_tr = tuple(-kt_el * s[k] - ct_ * v_t[k] for k in range(3))
+                f_mag = jnp.sqrt(
+                    f_tr[0] * f_tr[0] + f_tr[1] * f_tr[1] + f_tr[2] * f_tr[2]
+                )
+                f_max = mu * fn
+                clamp = f_mag > f_max
+                scale = jnp.where(clamp, f_max / jnp.maximum(f_mag, 1e-9), 1.0)
+                f_t = tuple(f_tr[k] * scale for k in range(3))
+                inv_kt = 1.0 / jnp.maximum(kt_el, 1e-9)
+                s_new = tuple(
+                    jnp.where(
+                        active,
+                        jnp.where(clamp, -f_t[k] * inv_kt, s[k]),
+                        0.0,
+                    )
+                    for k in range(3)
+                )
+                slip_g_new[g] = s_new
+                f_w = tuple(
+                    fn * n_g[k] + jnp.where(active, f_t[k], 0.0)
+                    for k in range(3)
+                )
+                torque = _cross(lever, f_w)
                 f_ext[b] = _vadd(f_ext[b], torque + f_w)
                 cf_out[b] = _vadd(cf_out[b], f_w)
                 ct_out[b] = _vadd(ct_out[b], torque)
 
             # PASS 2 (pairs): levers/velocities recomputed from the cached
             # contact normal (cheap vs caching them across the passes)
-            for g, s_, gb_, sb_, depth, active, n_w in pair_cache:
+            slip_p_new = list(slip_p)
+            for pi, (g, s_, gb_, sb_, depth, active, n_w) in enumerate(pair_cache):
                 c = _vadd(p_w[gb_], geom_off_w[g])
                 r_g = float(geom_r[g])
                 x_c = tuple(c[k] - n_w[k] * r_g for k in range(3))
@@ -741,7 +782,6 @@ def build_fused_substep(
                 v_rel = _vsub(v_g, v_s)
                 v_n = v_rel[0] * n_w[0] + v_rel[1] * n_w[1] + v_rel[2] * n_w[2]
                 v_t = tuple(v_rel[k] - v_n * n_w[k] for k in range(3))
-                vt_norm = jnp.sqrt(v_t[0] ** 2 + v_t[1] ** 2 + v_t[2] ** 2)
                 share_g = inv_nact[gb_]
                 share_s = inv_nact[sb_]
                 m_g_ = (me_ref[g] if mass_mode else float(geom_meff[g])) * share_g
@@ -768,9 +808,35 @@ def build_fused_substep(
                     mu = jnp.sqrt(fr_ref[g] * float(surf_mu_c[s_]))
                 else:
                     mu = float(np.sqrt(geom_mu[g] * surf_mu_c[s_]))
-                ft_mag = jnp.minimum(_smin(arrest, kt_c) * vt_norm, mu * fn)
-                scale = ft_mag / jnp.maximum(vt_norm, 1e-6)
-                f_p = tuple(fn * n_w[k] - v_t[k] * scale for k in range(3))
+                # anchored-spring stiction on the pair's reduced mass
+                # (contact.pair_contact_forces parity)
+                kt_el = _smin(kt_c, m_pair / (h * h))
+                ct_ = _smin(arrest, kt_c)
+                s = slip_p[pi]
+                s = tuple(s[k] + v_t[k] * h for k in range(3))
+                s_dot_n = s[0] * n_w[0] + s[1] * n_w[1] + s[2] * n_w[2]
+                s = tuple(s[k] - s_dot_n * n_w[k] for k in range(3))
+                f_tr = tuple(-kt_el * s[k] - ct_ * v_t[k] for k in range(3))
+                f_mag = jnp.sqrt(
+                    f_tr[0] * f_tr[0] + f_tr[1] * f_tr[1] + f_tr[2] * f_tr[2]
+                )
+                f_max = mu * fn
+                clamp = f_mag > f_max
+                scale = jnp.where(clamp, f_max / jnp.maximum(f_mag, 1e-9), 1.0)
+                f_t = tuple(f_tr[k] * scale for k in range(3))
+                inv_kt = 1.0 / jnp.maximum(kt_el, 1e-9)
+                slip_p_new[pi] = tuple(
+                    jnp.where(
+                        active,
+                        jnp.where(clamp, -f_t[k] * inv_kt, s[k]),
+                        0.0,
+                    )
+                    for k in range(3)
+                )
+                f_p = tuple(
+                    fn * n_w[k] + jnp.where(active, f_t[k], 0.0)
+                    for k in range(3)
+                )
                 tq_g = _cross(lever_g, f_p)
                 f_n = tuple(-f_p[k] for k in range(3))
                 tq_s = _cross(lever_s, f_n)
@@ -1066,14 +1132,16 @@ def build_fused_substep(
             for d in range(nd):
                 b = d_body[d]
                 q_new[q_adr[b]] = q_new[q_adr[b]] + qd_new[v_adr[b]] * h
-            return q_new, qd_new, tau_d, cf_out, ct_out, jw
+            return (q_new, qd_new, tau_d, cf_out, ct_out, jw,
+                    slip_g_new, slip_p_new)
 
         tau_last = [zero] * nd
         cf_last = [(zero,) * 3] * nb
         ct_last = [(zero,) * 3] * nb
         jw_last = [(zero,) * 6] * ns
         for _ in range(substeps):
-            q, qd, tau_last, cf_last, ct_last, jw_last = substep(q, qd)
+            (q, qd, tau_last, cf_last, ct_last, jw_last,
+             slip_g, slip_p) = substep(q, qd, slip_g, slip_p)
         for i in range(nq):
             qo_ref[i] = q[i]
         for i in range(nv):
@@ -1087,6 +1155,12 @@ def build_fused_substep(
         for s_i in range(ns):
             for k in range(6):
                 jw_ref[s_i * 6 + k] = jw_last[s_i][k] + zero
+        for g in range(ng):
+            for k in range(3):
+                sgo_ref[3 * g + k] = slip_g[g][k] + zero
+        for p_ in range(n_pairs):
+            for k in range(3):
+                spo_ref[3 * p_ + k] = slip_p[p_][k] + zero
 
     def to_soa(x, d):
         return jnp.moveaxis(x, -1, 0).reshape(d, num_envs // LANES, LANES)
@@ -1109,6 +1183,12 @@ def build_fused_substep(
     if ns:
         out_specs.append(spec(ns * 6))
         out_shapes.append(shape(ns * 6))
+    if ng:
+        out_specs.append(spec(ng * 3))
+        out_shapes.append(shape(ng * 3))
+    if n_pairs:
+        out_specs.append(spec(n_pairs * 3))
+        out_shapes.append(shape(n_pairs * 3))
     in_specs = [spec(nq), spec(nv), spec(nd), spec(nd), spec(nd)]
     if terrain_mode:
         in_specs += [spec(ng), spec(ng * 3)]
@@ -1122,11 +1202,16 @@ def build_fused_substep(
         in_specs += [spec(nd), spec(nd), spec(nd), spec(nd)]
     if grav_mode:
         in_specs.append(spec(3))
+    if ng:
+        in_specs.append(spec(ng * 3))
+    if n_pairs:
+        in_specs.append(spec(n_pairs * 3))
 
     def run(q, qd, pos_target, vel_target, effort,
             ground_h=None, ground_n=None, body_wrench=None, geom_fric=None,
             body_mass=None, geom_meff=None, dof_kp=None, dof_kd=None,
-            dof_lo=None, dof_hi=None, gravity=None):
+            dof_lo=None, dof_hi=None, gravity=None,
+            slip_g=None, slip_p=None):
         f32 = jnp.float32
         bcast = lambda x, d: to_soa(
             jnp.broadcast_to(x, (num_envs, d)).astype(f32), d
@@ -1155,6 +1240,16 @@ def build_fused_substep(
             args.append(bcast(dof_hi, nd))
         if grav_mode:
             args.append(bcast(gravity, 3))
+        if ng:
+            if slip_g is None:
+                slip_g = jnp.zeros((num_envs, ng, 3), f32)
+            args.append(to_soa(slip_g.reshape(num_envs, ng * 3).astype(f32), ng * 3))
+        if n_pairs:
+            if slip_p is None:
+                slip_p = jnp.zeros((num_envs, n_pairs, 3), f32)
+            args.append(to_soa(
+                slip_p.reshape(num_envs, n_pairs * 3).astype(f32), n_pairs * 3
+            ))
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -1168,7 +1263,17 @@ def build_fused_substep(
         dof_force = from_soa(outs[2])
         cf = from_soa(outs[3]).reshape(num_envs, nb, 3)
         ct = from_soa(outs[4]).reshape(num_envs, nb, 3)
-        jw = from_soa(outs[5]).reshape(num_envs, ns, 6) if ns else None
-        return q_new, qd_new, dof_force, cf, ct, jw
+        o = 5
+        jw = None
+        if ns:
+            jw = from_soa(outs[o]).reshape(num_envs, ns, 6)
+            o += 1
+        slip_g_new = slip_p_new = None
+        if ng:
+            slip_g_new = from_soa(outs[o]).reshape(num_envs, ng, 3)
+            o += 1
+        if n_pairs:
+            slip_p_new = from_soa(outs[o]).reshape(num_envs, n_pairs, 3)
+        return q_new, qd_new, dof_force, cf, ct, jw, slip_g_new, slip_p_new
 
     return run

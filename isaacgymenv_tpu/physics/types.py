@@ -233,6 +233,16 @@ class SimState:
     # (ref: acquire_force_sensor_tensor layout: force3 then torque3).
     # None when the model declares no sensors (model.sensor_body empty).
     joint_wrench: Optional[jnp.ndarray] = None
+    # Tangential slip-spring displacement per ground contact (N, ng, 3) and
+    # per pair contact (N, n_pairs, 3), world frame.  The stiction state:
+    # friction is an anchored spring f_t = -k_t s - c_t v_t projected to the
+    # Coulomb cone (contact.py), so a loaded stance foot holds position with
+    # zero steady-state creep — the PhysX TGS position-iteration equivalent.
+    # (A prior viscous-only law made force proportional to slip VELOCITY:
+    # feet skated under load and quadrupeds could only track ~half their
+    # commanded velocity.)  None until the first engine.step normalizes it.
+    slip_g: Optional[jnp.ndarray] = None
+    slip_p: Optional[jnp.ndarray] = None
 
     @property
     def N(self) -> int:
@@ -259,6 +269,11 @@ def make_zero_state(model: SimModel, n_envs: int, dtype=jnp.float32) -> SimState
         joint_wrench=(
             jnp.zeros((n_envs, len(model.sensor_body), 6), dtype)
             if model.sensor_body else None
+        ),
+        slip_g=jnp.zeros((n_envs, model.ng, 3), dtype) if model.ng else None,
+        slip_p=(
+            jnp.zeros((n_envs, model.n_pairs, 3), dtype)
+            if model.n_pairs else None
         ),
     )
 
