@@ -129,25 +129,38 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
         return False
     if num_envs % LANES != 0:
         return False
+    # no Mosaic-valid sublane block within the VMEM budget -> XLA path
+    if _block_s(num_envs, model) is None:
+        return False
     return True
 
 
-def _block_s(num_envs: int, model: SimModel) -> int:
-    """Sublanes per grid cell: up to one full fp32 tile (8x128 envs),
-    reduced when the scene's estimated live VMEM footprint would blow the
-    ~16MB scoped-vmem stack (big pair-contact scenes like ShadowHand)."""
-    # live (S,128)-valued registers: FK/ABA state + slim contact caches
+def _block_s(num_envs: int, model: SimModel):
+    """Sublanes per grid cell, or None when no Mosaic-valid block fits VMEM.
+
+    Mosaic requires the block's sublane dim to be divisible by 8 OR equal
+    to the full array dim (num_envs // 128) — so the only valid choices are
+    S=8 (full fp32 tile) and, for small scenes, the whole array (grid=1).
+    When the scene's estimated live VMEM footprint would blow the ~16MB
+    scoped-vmem stack at every valid S (big pair scenes), the caller falls
+    back to the XLA path instead of emitting an un-lowerable kernel."""
+    # live (S,128)-valued registers: FK/ABA state + slim contact caches +
+    # carried stiction state (q/qd/slip in/out blocks are aliased)
     V = (
         20 * model.nb + 7 * model.ng + 8 * model.n_pairs
         + 2 * (model.nq + model.nv + 2 * model.nd) + 300
     )
     budget = 14 * 1024 * 1024
-    for s in (8, 4, 2, 1):
-        if num_envs % (s * LANES) != 0:
-            continue
-        if V * s * LANES * 4 <= budget or s == 1:
+    full = num_envs // LANES
+    candidates = []
+    if num_envs % (8 * LANES) == 0:
+        candidates.append(8)
+    if full != 8:
+        candidates.append(full)  # grid=1: block == array, any sublane count
+    for s in candidates:
+        if V * s * LANES * 4 <= budget:
             return s
-    return 1
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -387,6 +400,11 @@ def build_fused_substep(
     """
     nb, nq, nv, nd, ng = model.nb, model.nq, model.nv, model.nd, model.ng
     S = _block_s(num_envs, model)
+    if S is None:
+        raise ValueError(
+            "no Mosaic-valid sublane block fits VMEM for this scene — "
+            "fused_ok should have routed it to the XLA path"
+        )
     grid = num_envs // (S * LANES)
     h = float(dt)
 
@@ -1202,9 +1220,15 @@ def build_fused_substep(
         in_specs += [spec(nd), spec(nd), spec(nd), spec(nd)]
     if grav_mode:
         in_specs.append(spec(3))
+    # alias the state-carrying refs onto their outputs: q/qd/slip blocks
+    # would otherwise be resident twice in VMEM (in + out), and the slip
+    # blocks dominate big pair scenes (ShadowHand: 256 pairs x 3 lanes)
+    io_aliases = {0: 0, 1: 1}
     if ng:
+        io_aliases[len(in_specs)] = 5 + (1 if ns else 0)
         in_specs.append(spec(ng * 3))
     if n_pairs:
+        io_aliases[len(in_specs)] = 5 + (1 if ns else 0) + (1 if ng else 0)
         in_specs.append(spec(n_pairs * 3))
 
     def run(q, qd, pos_target, vel_target, effort,
@@ -1256,6 +1280,7 @@ def build_fused_substep(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
+            input_output_aliases=io_aliases,
             interpret=interpret,
         )(*args)
         q_new = from_soa(outs[0])

@@ -92,6 +92,11 @@ def main(argv=None):
         pbt_cfg = load_yaml(os.path.join(CFG_ROOT, "pbt", f"{pbt_name}.yaml"))
     pbt_overrides = [f"{k[4:]}={v}" for k, v in kv.items() if k.startswith("pbt.")]
     apply_cli_overrides(pbt_cfg, pbt_overrides)
+    if pbt_cfg.get("enabled") and not pbt_restart:
+        # population diversity: offset the seed per policy (the reference
+        # seeds per rank, utils/utils.py:94; identical seeds make every
+        # policy bitwise-identical here, so ranking never separates)
+        seed = seed + int(pbt_cfg.get("policy_idx", 0))
     if pbt_cfg.get("mutation_scheme"):
         # pbt.mutation_scheme=<name> selects cfg/pbt/mutation/<name>.yaml
         # (the reference's `pbt/mutation=<name>` hydra group)
