@@ -150,7 +150,11 @@ def _block_s(num_envs: int, model: SimModel):
         20 * model.nb + 7 * model.ng + 8 * model.n_pairs
         + 2 * (model.nq + model.nv + 2 * model.nd) + 300
     )
-    budget = 14 * 1024 * 1024
+    import os
+
+    budget = int(os.environ.get(
+        "ISAACGYMENV_TPU_FUSED_VMEM_BUDGET", 14 * 1024 * 1024
+    ))
     full = num_envs // LANES
     candidates = []
     if num_envs % (8 * LANES) == 0:
