@@ -13,4 +13,25 @@ Public API mirrors the reference's `isaacgymenvs.make` (ref: __init__.py:14).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the TPU tunnel in this image compiles
+# remotely (minutes for a full train program); caching makes every rerun of
+# an identical program — benches, the evidence ladder, resumed training —
+# skip straight to execution.  Opt out with ISAACGYMENV_TPU_NO_CACHE=1.
+if not _os.environ.get("ISAACGYMENV_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "isaacgymenv_tpu_xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is a fast-path, never a hard dependency
+        pass
+
 from isaacgymenv_tpu.api import make  # noqa: F401

@@ -1,0 +1,124 @@
+"""Multi-device scaling efficiency for the distributed learners.
+
+BASELINE.md targets >=85% multi-host scaling efficiency; multi-chip TPU
+hardware is not attached in this image, so this script measures what CAN be
+measured honestly on each backend:
+
+  * strong mode (default on CPU): FIXED total env count, device count swept
+    1..8 on the virtual host-platform mesh.  Total compute is constant and
+    runs on the same physical silicon, so any throughput drop at N>1 is pure
+    partitioning + collective (psum/all_gather) + shard_map overhead — the
+    framework-side tax that would bound real-hardware scaling from above.
+  * weak mode (for real multi-chip TPU): envs-per-device held constant, so
+    steps/s should grow ~linearly; efficiency = rate_N / (N * rate_1).
+
+Each device count runs in a fresh subprocess because
+--xla_force_host_platform_device_count must be set before jax initializes.
+
+Usage:
+  python scripts/scaling_efficiency.py [--task Cartpole] [--envs 1024]
+         [--mode strong|weak] [--devices 1,2,4,8] [--epochs 5]
+Output: markdown table (paste into docs/perf.md) + one JSON line per point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(n: int, task: str, envs: int, epochs: int) -> None:
+    sys.path.insert(0, REPO)
+    import jax
+
+    from isaacgymenv_tpu.envs import registry
+    from isaacgymenv_tpu.parallel.mesh import make_mesh
+    from isaacgymenv_tpu.parallel.trainer import DistributedPPO
+    from isaacgymenv_tpu.utils.config import load_task_config, load_train_config
+
+    assert len(jax.devices()) >= n, (n, jax.devices())
+    cfg = load_task_config(task, num_envs=envs)
+    env = registry.get_task(task)(cfg)
+    tcfg = load_train_config(task)
+    agent = DistributedPPO(env, tcfg, make_mesh(n))
+    ts = agent.shard_state(agent.init(seed=7))
+
+    ts, _ = agent.train_epoch(ts)  # compile + warmup
+    jax.block_until_ready(jax.tree.leaves(ts.params)[0])
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        ts, _ = agent.train_epoch(ts)
+    jax.block_until_ready(jax.tree.leaves(ts.params)[0])
+    dt = (time.perf_counter() - t0) / epochs
+    steps = env.num_envs * agent.cfg.horizon_length
+    print(json.dumps({
+        "n_devices": n, "num_envs": env.num_envs,
+        "horizon": int(agent.cfg.horizon_length),
+        "epoch_s": round(dt, 4), "steps_per_s": round(steps / dt, 1),
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="Cartpole")
+    ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--mode", choices=("strong", "weak"), default="strong")
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--child", type=int, default=0, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.child, args.task, args.envs, args.epochs)
+        return
+
+    rows = []
+    for n in [int(x) for x in args.devices.split(",")]:
+        envs = args.envs * (n if args.mode == "weak" else 1)
+        env = dict(os.environ)
+        # virtual mesh only when real devices are absent; on a real multi-chip
+        # host JAX_PLATFORMS stays whatever the image pins (tpu/axon)
+        env["JAX_PLATFORMS"] = env.get("SCALING_PLATFORM", "cpu")
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n),
+             "--task", args.task, "--envs", str(envs),
+             "--epochs", str(args.epochs)],
+            env=env, capture_output=True, text=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(f"n={n} FAILED:\n{out.stderr[-2000:]}", file=sys.stderr)
+            continue
+        row = json.loads(line[-1])
+        rows.append(row)
+        print(json.dumps(row))
+
+    if not rows:
+        sys.exit(1)
+    base = rows[0]
+    print(f"\n### {args.mode} scaling — {args.task}, "
+          f"{args.envs} envs{' per device' if args.mode == 'weak' else ''} "
+          f"(train_epoch: rollout + PPO update)\n")
+    print("| devices | envs | epoch (s) | steps/s | efficiency |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        if args.mode == "weak":
+            eff = r["steps_per_s"] / (base["steps_per_s"] * r["n_devices"] / base["n_devices"])
+        else:
+            eff = r["steps_per_s"] / base["steps_per_s"]
+        print(f"| {r['n_devices']} | {r['num_envs']} | {r['epoch_s']} "
+              f"| {r['steps_per_s']:,.0f} | {eff * 100:.1f}% |")
+
+
+if __name__ == "__main__":
+    main()
