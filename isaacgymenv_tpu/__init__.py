@@ -24,7 +24,8 @@ import jax as _jax
 if not _os.environ.get("ISAACGYMENV_TPU_NO_CACHE"):
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "isaacgymenv_tpu_xla"),
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      ".xla_cache"),
     )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
