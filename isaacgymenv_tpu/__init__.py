@@ -21,18 +21,35 @@ import jax as _jax
 # remotely (minutes for a full train program); caching makes every rerun of
 # an identical program — benches, the evidence ladder, resumed training —
 # skip straight to execution.  Opt out with ISAACGYMENV_TPU_NO_CACHE=1.
+# The cache only pays off for TPU programs (remote compiles take minutes);
+# on the CPU backend it buys nothing AND jaxlib's executable serialization
+# segfaults under --xla_force_host_platform_device_count multi-device CPU
+# (observed: put_executable_and_time -> SIGSEGV in the test suite).
+_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if _platforms.split(",")[0].strip().lower() == "cpu":
+    _os.environ.setdefault("ISAACGYMENV_TPU_NO_CACHE", "1")
+
 if not _os.environ.get("ISAACGYMENV_TPU_NO_CACHE"):
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
+    # Preferred: a .xla_cache sibling of the package (the repo checkout).
+    # For a pip-installed package that resolves next to site-packages, which
+    # may be unwritable/shared — fall back to a per-user cache dir.
+    _candidates = [
         _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
                       ".xla_cache"),
-    )
-    try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # cache is a fast-path, never a hard dependency
-        pass
+        _os.path.join(_os.path.expanduser("~"), ".cache", "isaacgymenv_tpu", "xla"),
+    ]
+    if "JAX_COMPILATION_CACHE_DIR" in _os.environ:
+        _candidates = [_os.environ["JAX_COMPILATION_CACHE_DIR"]]
+    for _cache_dir in _candidates:
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            if not _os.access(_cache_dir, _os.W_OK):
+                continue
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+            _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            break
+        except Exception:  # cache is a fast-path, never a hard dependency
+            continue
 
 from isaacgymenv_tpu.api import make  # noqa: F401

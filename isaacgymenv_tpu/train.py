@@ -13,6 +13,29 @@ import sys
 import time
 
 
+def _override_sigma(ts, sigma: float):
+    """Replace the restored policy's state-independent action std (the
+    fixed_sigma `log_std` param) with log(sigma) — ref train.py:217."""
+    import jax.numpy as jnp
+
+    import jax
+
+    found = {"n": 0}
+
+    def visit(path, leaf):
+        if any(getattr(p, "key", None) == "log_std" for p in path):
+            found["n"] += 1
+            return jnp.full_like(leaf, jnp.log(sigma))
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(visit, ts.params)
+    if not found["n"]:
+        print("sigma= override ignored: policy has no fixed log_std param")
+        return ts
+    print(f"sigma override: policy std set to {sigma}")
+    return ts.replace(params=params)
+
+
 def main(argv=None):
     # honor an explicit JAX_PLATFORMS even when a sitecustomize has already
     # pinned a platform list via jax.config (the env var alone is ignored
@@ -35,6 +58,9 @@ def main(argv=None):
         seed = int.from_bytes(os.urandom(4), "little") % (2**31)
     test = kv.pop("test", "False").lower() in ("true", "1")
     checkpoint = kv.pop("checkpoint", "")
+    # sigma=<float> overrides the restored policy's action std (ref:
+    # train.py:217 `'sigma': cfg.sigma if cfg.sigma != '' else None`)
+    sigma = kv.pop("sigma", "")
     max_iterations = kv.pop("max_iterations", "")
     num_envs = kv.pop("num_envs", "")
     experiment = kv.pop("experiment", task)
@@ -175,6 +201,8 @@ def main(argv=None):
         from isaacgymenv_tpu.learning.player import run_player
 
         ts = load_train_state(agent, checkpoint)
+        if sigma:
+            ts = _override_sigma(ts, float(sigma))
         venv = env.as_vec_env(seed=seed)
         games_num = int(kv.pop("games_num", 64))
         deterministic = kv.pop("deterministic", "True").lower() in ("true", "1")
@@ -195,6 +223,8 @@ def main(argv=None):
 
         init_ts = load_train_state(agent, checkpoint)
         init_ts = refill_slim(agent, init_ts, seed)
+        if sigma:
+            init_ts = _override_sigma(init_ts, float(sigma))
         if use_dist:
             init_ts = agent.shard_state(init_ts)
         if pbt_restart and hasattr(init_ts, "lr"):

@@ -18,7 +18,14 @@ Each device count runs in a fresh subprocess because
 Usage:
   python scripts/scaling_efficiency.py [--task Cartpole] [--envs 1024]
          [--mode strong|weak] [--devices 1,2,4,8] [--epochs 5]
-Output: markdown table (paste into docs/perf.md) + one JSON line per point.
+Output: markdown table (paste into docs/perf.md) + one JSON line per point
+(each row records the backend it actually ran on).
+
+Environment:
+  SCALING_PLATFORM  force the child processes' JAX_PLATFORMS (e.g. "tpu").
+                    Unset: children inherit the parent's JAX_PLATFORMS, or
+                    default to "cpu" when none is set — so on a real
+                    multi-chip host the inherited tpu backend is used.
 """
 
 from __future__ import annotations
@@ -47,7 +54,7 @@ def child(n: int, task: str, envs: int, epochs: int) -> None:
     env = registry.get_task(task)(cfg)
     tcfg = load_train_config(task)
     agent = DistributedPPO(env, tcfg, make_mesh(n))
-    ts = agent.shard_state(agent.init(seed=7))
+    ts = agent.init(seed=7)  # init already shards internally
 
     ts, _ = agent.train_epoch(ts)  # compile + warmup
     jax.block_until_ready(jax.tree.leaves(ts.params)[0])
@@ -59,6 +66,7 @@ def child(n: int, task: str, envs: int, epochs: int) -> None:
     steps = env.num_envs * agent.cfg.horizon_length
     print(json.dumps({
         "n_devices": n, "num_envs": env.num_envs,
+        "backend": jax.default_backend(),
         "horizon": int(agent.cfg.horizon_length),
         "epoch_s": round(dt, 4), "steps_per_s": round(steps / dt, 1),
     }))
@@ -82,9 +90,10 @@ def main() -> None:
     for n in [int(x) for x in args.devices.split(",")]:
         envs = args.envs * (n if args.mode == "weak" else 1)
         env = dict(os.environ)
-        # virtual mesh only when real devices are absent; on a real multi-chip
-        # host JAX_PLATFORMS stays whatever the image pins (tpu/axon)
-        env["JAX_PLATFORMS"] = env.get("SCALING_PLATFORM", "cpu")
+        # SCALING_PLATFORM > inherited JAX_PLATFORMS > cpu (virtual mesh);
+        # on a real multi-chip host the inherited tpu backend rides through
+        env["JAX_PLATFORMS"] = env.get(
+            "SCALING_PLATFORM", env.get("JAX_PLATFORMS", "cpu"))
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={n}"

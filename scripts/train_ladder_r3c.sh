@@ -15,7 +15,8 @@ run() {
 }
 
 # wait for the in-flight Anymal_r3 calibration run to drain the TPU
-while pgrep -f "isaacgymenv_tpu.train task=Anymal " >/dev/null; do
+# (stable pattern: arg order independent)
+while pgrep -f "isaacgymenv_tpu.train.*Anymal" >/dev/null; do
   sleep 10
 done
 

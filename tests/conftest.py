@@ -16,6 +16,9 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent-cache writes segfault jaxlib on the multi-device CPU backend
+# (serialized-executable path); tests never benefit from the cache anyway
+os.environ["ISAACGYMENV_TPU_NO_CACHE"] = "1"
 
 # sitecustomize's axon.register() already ran at interpreter start and did
 # jax.config.update("jax_platforms", "axon,cpu"), which overrides the env

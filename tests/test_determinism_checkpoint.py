@@ -136,3 +136,23 @@ def test_checkpoint_validation_rejects_mismatched_network(tmp_path):
     # same-config load still works
     ts = load_train_state(small, path)
     assert ts is not None
+
+
+def test_sigma_override_sets_policy_std():
+    """`sigma=<float>` on restore replaces the fixed log_std param
+    (ref: train.py:217 sigma override)."""
+    import numpy as np
+
+    from isaacgymenv_tpu.envs.registry import get_task
+    from isaacgymenv_tpu.learning.ppo import PPO
+    from isaacgymenv_tpu.train import _override_sigma
+    from isaacgymenv_tpu.utils.config import load_task_config, load_train_config
+
+    cfg = load_task_config("Cartpole", num_envs=8)
+    env = get_task("Cartpole")(cfg)
+    tcfg = load_train_config("Cartpole")
+    tcfg["params"]["config"].update(horizon_length=8, minibatch_size=64)
+    agent = PPO(env, tcfg)
+    ts = _override_sigma(agent.init(0), 0.25)
+    log_std = ts.params["params"]["log_std"]
+    np.testing.assert_allclose(np.asarray(log_std), np.log(0.25), rtol=1e-6)
