@@ -56,15 +56,18 @@ def main():
         return state, key, rews.sum()
 
     k_roll = jax.random.PRNGKey(1)
-    # warmup + compile
-    state, k_roll, _ = rollout(state, k_roll)
-    jax.block_until_ready(state.sim.q)
+    # warmup + compile; the scalar fetch is the real completion barrier —
+    # jax.block_until_ready returns BEFORE remote execution finishes through
+    # the axon relay (measured: 0.4 ms "block" vs 1.3 s actual), silently
+    # inflating dispatch-only timings
+    state, k_roll, r = rollout(state, k_roll)
+    float(r)
 
     t0 = time.perf_counter()
     iters = 4
     for _ in range(iters):
         state, k_roll, r = rollout(state, k_roll)
-    jax.block_until_ready(state.sim.q)
+    float(r)  # forces the whole chained queue to drain
     dt = time.perf_counter() - t0
 
     steps = env.num_envs * 50 * iters

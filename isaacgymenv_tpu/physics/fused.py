@@ -150,6 +150,15 @@ def _block_s(num_envs: int, model: SimModel):
         20 * model.nb + 7 * model.ng + 8 * model.n_pairs
         + 2 * (model.nq + model.nv + 2 * model.nd) + 300
     )
+    # Empirical calibration (TPU v5e, 2026-08): Mosaic's ACTUAL scoped-vmem
+    # stack demand runs ~1.2-2.2x this register estimate (pipeline double
+    # buffering + spill headroom, and it grows when the scoped limit is
+    # raised via xla_tpu_scoped_vmem_limit_kib — raising the limit does NOT
+    # rescue an over-budget scene).  ShadowHand's 256-pair scene estimates
+    # 15.5MB but demands 19-34MB against the 16MB hardware limit at every
+    # valid S, so it correctly falls back to the XLA path.  The 14MB default
+    # keeps every shipped fused scene compiling with margin; override with
+    # the env var only for scenes you have compile-tested.
     import os
 
     budget = int(os.environ.get(

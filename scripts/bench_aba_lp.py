@@ -34,14 +34,14 @@ def bench(task: str, num_envs: int, variant: str) -> float:
         return state, rews.sum()
 
     actions = jnp.zeros((env.num_envs, env.num_actions))
-    state, _ = rollout(state, actions)
-    jax.block_until_ready(state.sim.q)
+    state, r = rollout(state, actions)
+    float(r)  # real barrier: relay block_until_ready is async
 
     t0 = time.perf_counter()
     iters = 4
     for _ in range(iters):
         state, r = rollout(state, actions)
-    jax.block_until_ready(state.sim.q)
+    float(r)
     dt = time.perf_counter() - t0
     sps = num_envs * 50 * iters / dt
     print(f"{variant}: {sps:,.0f} env-steps/s", flush=True)

@@ -36,12 +36,12 @@ def bench(task, num_envs=4096, horizon=50, iters=4, dr=False):
         return state, key, rews
 
     key = jax.random.PRNGKey(1)
-    state, key, _ = rollout(state, key)
-    jax.block_until_ready(state.sim.q)
+    state, key, r = rollout(state, key)
+    float(r.sum())  # real barrier: relay block_until_ready is async
     t0 = time.perf_counter()
     for _ in range(iters):
         state, key, r = rollout(state, key)
-    jax.block_until_ready(state.sim.q)
+    float(r.sum())
     dt = time.perf_counter() - t0
     sps = num_envs * horizon * iters / dt
     fin = bool(jnp.isfinite(state.sim.q).all())

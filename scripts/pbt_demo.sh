@@ -15,13 +15,16 @@ LOGS=runs/logs/pbt_demo
 rm -rf "$WS" "$LOGS"
 mkdir -p "$LOGS"
 
+# scaled to the 1-CPU demo host: tiny env count, PBT iteration every ~5
+# epochs so ranking/replacement fire well inside the wall-clock budget
 JAX_PLATFORMS=cpu timeout 2700 python -m isaacgymenv_tpu.pbt.launcher \
   --num_policies 3 --max_parallel 3 -- \
-  task=Cartpole headless=True max_iterations=400 num_envs=256 \
+  task=Cartpole headless=True max_iterations=60 num_envs=128 \
   pbt=pbt_default "pbt.workspace=$WS" \
   pbt.num_policies=3 \
-  pbt.interval_steps=200000 pbt.start_after=200000 pbt.initial_delay=400000 \
-  train.params.config.save_frequency=50 \
+  pbt.interval_steps=10000 pbt.start_after=10000 pbt.initial_delay=20000 \
+  train.params.config.minibatch_size=1024 \
+  train.params.config.save_frequency=20 \
   > "$LOGS/launcher.log" 2>&1
 echo "pbt demo exit: $?"
 echo "self-restarts (replacement+mutation events):"

@@ -19,6 +19,9 @@ REPS = 50
 
 
 def timeit(name, fn, *args):
+    # WARNING: identical independent calls can be memoized by the axon relay
+    # and block_until_ready is async there — numbers are only trustworthy on
+    # the local CPU/TPU backends; prefer scripts/roofline.py on the relay.
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()

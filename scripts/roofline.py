@@ -32,46 +32,71 @@ N_ENVS = 4096
 STEPS = 200
 
 
-def _timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _timeit_chained(fn, x, reps=3):
+    """Time reps of x = fn(x, seed).  Microbenchmark rules learned the hard
+    way on the axon relay:
+      * the per-call RPC dispatch is ~40 us, so fn must hold >=10 ms of
+        device work (iteration loop INSIDE the jit via lax.fori_loop);
+      * the relay memoizes (executable, input buffers) -> result, so every
+        call must receive a DIFFERENT input (chained output + a fresh seed
+        scalar) and the chain must not converge to a fixpoint (bounded,
+        seed-perturbed dynamics) — otherwise repeat calls return cached
+        buffers and report 10-150x above hardware peak."""
+    x = fn(x, jnp.float32(0.123))
+    float(x.ravel()[0])  # real barrier: block_until_ready returns before
+    t0 = time.perf_counter()  # remote execution completes on the relay
+    for r in range(reps):
+        x = fn(x, jnp.float32(0.37 + 0.11 * r))
+    float(x.ravel()[0])
     return (time.perf_counter() - t0) / reps
 
 
 def ceilings():
     """Measured device ceilings (GB/s, VPU GFLOP/s, MXU GFLOP/s)."""
-    # HBM: streaming triad y = a*x + y over 256 MB operands
-    n = 64 * 1024 * 1024
-    x = jnp.ones((n,), jnp.float32)
-    y = jnp.ones((n,), jnp.float32)
-    f_bw = jax.jit(lambda x, y: 1.5 * x + y)
-    t = _timeit(f_bw, x, y)
-    hbm_gbs = (3 * 4 * n) / t / 1e9  # read x, read y, write out
+    import jax.lax as lax
 
-    # VPU: K fused multiply-adds per element on a VMEM-resident-ish array
+    # HBM: R sweeps of y = a*y + b over a 256 MB operand (read + write);
+    # |a|<1 keeps values bounded, the seed keeps every sweep's data fresh
+    n = 64 * 1024 * 1024
+    R_BW = 32
+    f_bw = jax.jit(
+        lambda y, s: lax.fori_loop(
+            0, R_BW, lambda i, y: 0.5 * y + (s + 1e-3 * i), y
+        )
+    )
+    t = _timeit_chained(f_bw, jnp.ones((n,), jnp.float32))
+    hbm_gbs = (R_BW * 2 * 4 * n) / t / 1e9  # per sweep: read y, write out
+
+    # VPU: R x K fused multiply-adds per element on a VMEM-sized array
     K = 256
     m = 2 * 1024 * 1024
+    R_VPU = 64
 
-    def vpu(x):
-        acc = x
-        for _ in range(K):
-            acc = acc * 1.000001 + 0.5
-        return acc
+    def vpu(x, s):
+        def body(i, acc):
+            for _ in range(K):
+                acc = acc * 0.999999 + (s * 1e-6)
+            return acc
+        return lax.fori_loop(0, R_VPU, body, x)
 
-    f_vpu = jax.jit(vpu)
-    t = _timeit(f_vpu, jnp.ones((m,), jnp.float32))
-    vpu_gflops = (2 * K * m) / t / 1e9
+    t = _timeit_chained(jax.jit(vpu), jnp.ones((m,), jnp.float32))
+    vpu_gflops = (R_VPU * 2 * K * m) / t / 1e9
 
-    # MXU: bf16 matmul
+    # MXU: R chained bf16 matmuls, renormalized each round so values stay
+    # ~0.01 and carry a bf16-visible seed perturbation (~1%)
     d = 4096
-    a = jnp.ones((d, d), jnp.bfloat16)
-    f_mm = jax.jit(lambda a, b: a @ b)
-    t = _timeit(f_mm, a, a)
-    mxu_gflops = (2 * d**3) / t / 1e9
+
+    R_MM = 32
+
+    def mm(a, s):
+        def body(i, a):
+            a = a @ a
+            scale = 0.01 / jnp.maximum(jnp.max(jnp.abs(a)), 1e-9)
+            return (a * scale + s * 1e-4).astype(jnp.bfloat16)
+        return lax.fori_loop(0, R_MM, body, a)
+
+    t = _timeit_chained(jax.jit(mm), jnp.full((d, d), 0.01, jnp.bfloat16))
+    mxu_gflops = (R_MM * 2 * d**3) / t / 1e9
     return hbm_gbs, vpu_gflops, mxu_gflops
 
 
@@ -110,12 +135,12 @@ def measure_task(task: str, n_envs: int):
         pass
 
     state = compiled(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(state.sim.q)
+    float(state.sim.q.ravel()[0])  # real barrier (relay: see _timeit_chained)
     t0 = time.perf_counter()
     reps = 5
     for i in range(reps):
         state = compiled(state, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(state.sim.q)
+    float(state.sim.q.ravel()[0])
     dt = (time.perf_counter() - t0) / reps
     steps_s = n_envs * STEPS / dt
     return steps_s, dt / STEPS, cost

@@ -44,6 +44,12 @@ def child(n: int, task: str, envs: int, epochs: int) -> None:
     sys.path.insert(0, REPO)
     import jax
 
+    # the image's sitecustomize re-pins jax_platforms via jax.config.update,
+    # which overrides the JAX_PLATFORMS env var — counter-update (train.py
+    # does the same) so SCALING_PLATFORM=cpu really lands on the CPU mesh
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from isaacgymenv_tpu.envs import registry
     from isaacgymenv_tpu.parallel.mesh import make_mesh
     from isaacgymenv_tpu.parallel.trainer import DistributedPPO
