@@ -421,6 +421,12 @@ def _use_fused(model, terrain, ctrl, state) -> bool:
     # opt-out escape hatch; see physics/fused.py for the fast-path scope
     if os.environ.get("ISAACGYMENV_TPU_NO_FUSED", "") == "1":
         return False
+    # the Mosaic kernel only wins on TPU; on the CPU backend pallas_call
+    # falls back to the interpreter, which is ~400x SLOWER than the XLA
+    # path (measured: Cartpole 128 envs, 229 vs 86k steps/s) and takes
+    # minutes to trace — tests exercise the kernel explicitly instead
+    if jax.default_backend() == "cpu":
+        return False
     if state.q.ndim != 2:
         return False
     from isaacgymenv_tpu.physics import fused as fused_mod

@@ -59,6 +59,10 @@ def child(n: int, task: str, envs: int, epochs: int) -> None:
     cfg = load_task_config(task, num_envs=envs)
     env = registry.get_task(task)(cfg)
     tcfg = load_train_config(task)
+    c = tcfg["params"]["config"]
+    horizon = int(c.get("horizon_length", 16))
+    c["minibatch_size"] = min(int(c.get("minibatch_size", envs * horizon)),
+                              envs * horizon)
     agent = DistributedPPO(env, tcfg, make_mesh(n))
     ts = agent.init(seed=7)  # init already shards internally
 
