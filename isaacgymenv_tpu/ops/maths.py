@@ -14,10 +14,34 @@ not copied code: the formulas are standard rigid-body math.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+
+
+def f32_matmul(fn):
+    """Force float32 matmul/einsum precision while tracing `fn`.
+
+    On TPU, XLA's DEFAULT matmul precision feeds fp32 operands to the MXU
+    as bfloat16 (~8 mantissa bits).  For neural nets that's the right
+    trade, but the physics FK/contact einsums operate on WORLD coordinates:
+    at |p| ~ 130 m (terrain-grid env origins) bf16 quantizes positions to
+    ~0.5 m, freezing integrated motion whenever a derived pose is written
+    back into the state (measured: AnymalTerrain roots reported 0.76 m/s
+    while displacing 0.13 m/s — the r4 terrain-curriculum stall).  Every
+    physics entry point wraps itself in this scope; the learning stack
+    stays on the fast default.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
 
 # ---------------------------------------------------------------------------
 # basics

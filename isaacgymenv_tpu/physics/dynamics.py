@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as _np
 
+from isaacgymenv_tpu.ops.maths import f32_matmul
 from isaacgymenv_tpu.physics import spatial
 from isaacgymenv_tpu.physics.kinematics import Kin
 from isaacgymenv_tpu.physics.types import JT_FIXED, JT_FREE, SimModel
@@ -64,6 +65,7 @@ def body_spatial_inertias(model: SimModel, batch_shape, dtype):
     return out
 
 
+@f32_matmul
 def crba(model: SimModel, kin: Kin, inertias: list) -> jnp.ndarray:
     """Composite-rigid-body mass matrix, (..., nv, nv)."""
     batch = kin.p_w[0].shape[:-1]
@@ -110,6 +112,7 @@ def crba(model: SimModel, kin: Kin, inertias: list) -> jnp.ndarray:
     return M
 
 
+@f32_matmul
 def rnea_bias(
     model: SimModel,
     kin: Kin,
@@ -174,6 +177,7 @@ def _joint_velocity(model: SimModel, kin: Kin, i: int) -> jnp.ndarray:
     return kin.v[i] - v_from_parent
 
 
+@f32_matmul
 def forward_dynamics(
     model: SimModel,
     kin: Kin,
@@ -192,6 +196,7 @@ def forward_dynamics(
     return qdd[..., 0]
 
 
+@f32_matmul
 def mass_matrix(model: SimModel, kin: Kin) -> jnp.ndarray:
     """Public M(q) accessor for OSC controllers (ref: acquire_mass_matrix_tensor)."""
     batch = kin.p_w[0].shape[:-1]
@@ -242,6 +247,7 @@ def _solve_sym66(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x, axis=-1)
 
 
+@f32_matmul
 def aba(
     model: SimModel,
     kin: Kin,
@@ -349,6 +355,7 @@ def aba(
     return qdd
 
 
+@f32_matmul
 def aba_lp(
     model: SimModel,
     kin: Kin,

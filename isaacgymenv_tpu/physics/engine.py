@@ -301,6 +301,7 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     )
 
 
+@maths.f32_matmul
 def step(
     model: SimModel,
     terrain,
@@ -434,6 +435,7 @@ def _use_fused(model, terrain, ctrl, state) -> bool:
     return fused_mod.fused_ok(model, terrain, ctrl.body_wrench, state.q.shape[0])
 
 
+@maths.f32_matmul
 def forward(model: SimModel, terrain, state: SimState) -> SimState:
     """Refresh derived caches from (q, qd) without advancing time.
 

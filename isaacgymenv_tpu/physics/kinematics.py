@@ -110,6 +110,7 @@ def joint_subspace(model: SimModel, i: int, batch_shape, dtype):
     return None
 
 
+@maths.f32_matmul
 def fk(model: SimModel, q: jnp.ndarray, qd: jnp.ndarray) -> Kin:
     """Forward kinematics + velocities for all bodies."""
     batch = q.shape[:-1]
@@ -157,6 +158,7 @@ def _fk_levels(model: SimModel):
     ]
 
 
+@maths.f32_matmul
 def fk_lp(model: SimModel, q: jnp.ndarray, qd: jnp.ndarray) -> Kin:
     """Level-parallel FK — identical math to `fk`, scheduled by tree DEPTH.
 
@@ -290,6 +292,7 @@ def world_velocities(model: SimModel, kin: Kin):
     return ang, lin
 
 
+@maths.f32_matmul
 def body_jacobian(model: SimModel, kin: Kin, body: int, point_w: jnp.ndarray) -> jnp.ndarray:
     """World-frame 6xnv Jacobian of a point on `body`.
 

@@ -1,114 +1,119 @@
-"""Diagnose the AnymalTerrain learning plateau (terrain_level stuck ~0.05).
+"""Diagnose the AnymalTerrain slow-walk optimum (VERDICT r4 weak #2).
 
-Loads a trained checkpoint, rolls the deterministic policy, and reports
-per-env commanded vs achieved base velocity, distance from spawn, foot
-contact/slip statistics — separating "the policy can't track" from "the
-physics can't walk".
+Loads the r4 checkpoint, runs the deterministic policy, and compares:
+  - v_inst: base-frame linear velocity as the reward sees it (root state)
+  - v_fd:   finite-difference velocity of the root xy over the control step
+  - command, tracking reward, net displacement, torque saturation fraction
 
-Usage: python scripts/diag_terrain.py <ckpt> [task] [terrainType] [steps]
+If v_inst tracks the command but v_fd does not, the policy found a
+vibration exploit (instantaneous velocity at sampling instants without net
+displacement) or the stored root velocity is inconsistent with position
+integration.
 """
-
-from __future__ import annotations
-
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import jax
-
-if os.environ.get("DIAG_CPU", "1") == "1":
-    jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, ".")
+
 
 def main():
-    ckpt = sys.argv[1]
-    task = sys.argv[2] if len(sys.argv) > 2 else "AnymalTerrain"
-    ttype = sys.argv[3] if len(sys.argv) > 3 else "trimesh"
-    steps = int(sys.argv[4]) if len(sys.argv) > 4 else 400
-    n = int(os.environ.get("DIAG_ENVS", "64"))
-
-    from isaacgymenv_tpu.envs.registry import get_task
+    from isaacgymenv_tpu.envs import registry
     from isaacgymenv_tpu.learning.checkpoint import load_train_state
     from isaacgymenv_tpu.learning.ppo import PPO
-    from isaacgymenv_tpu.utils.config import load_task_config, load_train_config
-
-    cfg = load_task_config(task, num_envs=n)
-    cfg["env"].setdefault("terrain", {})
-    cfg["env"]["terrain"]["terrainType"] = ttype
-    # fixed straight-ahead command so tracking quality is unambiguous
-    vx = float(os.environ.get("DIAG_VX", "0.8"))
-    cfg["env"]["randomCommandVelocityRanges"] = {
-        "linear_x": [vx, vx], "linear_y": [0.0, 0.0], "yaw": [0.0, 0.0],
-    }
-    cfg["env"].setdefault("learn", {})["pushRobots"] = False
-    env = get_task(task)(cfg)
-    tc = load_train_config(task)
-    agent = PPO(env, tc)
-    ts = load_train_state(agent, ckpt, validate=False)
-
     from isaacgymenv_tpu.ops import maths
     from isaacgymenv_tpu.physics.types import root_state
+    from isaacgymenv_tpu.utils.config import (
+        apply_cli_overrides,
+        load_task_config,
+        load_train_config,
+    )
 
-    state = env.initial_state(jax.random.PRNGKey(0))
-    state = env._reset_envs(state, jnp.ones(n, bool), jax.random.PRNGKey(1))
-    obs = env._observations(state, jnp.zeros((n, env.num_actions)))
+    task = "AnymalTerrain"
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else "runs/AnymalTerrain_r4/nn/last_AnymalTerrain_r4.ckpt"
+    n_envs = 256
+    task_cfg = load_task_config(task)
+    apply_cli_overrides(task_cfg, [
+        "env.terrain.terrainType=trimesh",
+        f"env.numEnvs={n_envs}",
+    ])
+    train_cfg = load_train_config(task, None)
+    env = registry.get_task(task)(task_cfg)
+    agent = PPO(env, train_cfg)
+    ts = load_train_state(agent, ckpt)
+    venv = env.as_vec_env(seed=0)
+    obs_dict = venv.reset()
 
-    @jax.jit
-    def policy(params, obs_stats, obs):
-        o = agent._norm_obs(obs_stats, obs)
-        mu, _, _ = agent.network.apply(params, o)
-        return jnp.clip(mu, -1.0, 1.0)
+    act = jax.jit(lambda t, o, k: agent.act(t, o, True, k))
+    key = jax.random.PRNGKey(0)
 
-    step = jax.jit(env.step)
     m = env.model
-    if getattr(env, "terrain_origins", None) is not None:
-        origins = np.asarray(
-            env._env_origins(state.ts["terrain_levels"], state.ts["terrain_types"])
-        )
-    else:
-        origins = np.zeros((n, 3))
 
-    vels, heights, contacts, slips, torq = [], [], [], [], []
-    done_count = np.zeros(n)
-    for t in range(steps):
-        a = policy(ts.params, ts.obs_stats, obs)
-        state, obs_d, rew, done, extras = step(state, a)
-        obs = obs_d["obs"] if isinstance(obs_d, dict) else obs_d
+    def grab(state):
         rs = root_state(m, state.sim)[:, 0]
         q = rs[:, 3:7]
-        v_body = maths.quat_rotate_inverse(q, rs[:, 7:10])
-        vels.append(np.asarray(v_body))
-        heights.append(np.asarray(rs[:, 2]))
-        cf = np.asarray(state.sim.contact_force)
-        feet = cf[:, env.feet_indices]
-        contacts.append((feet[..., 2] > 1.0).mean())
-        torq.append(np.abs(np.asarray(state.sim.dof_force)).mean())
-        done_count += np.asarray(done)
+        v_inst = maths.quat_rotate_inverse(q, rs[:, 7:10])
+        return np.asarray(rs[:, 0:3]), np.asarray(v_inst), np.asarray(rs[:, 3:7]), np.asarray(state.ts["commands"]), np.asarray(jnp.abs(state.sim.dof_force))
 
-    rs = np.asarray(root_state(m, state.sim)[:, 0])
-    dist = np.linalg.norm(rs[:, :2] - origins[:, :2], axis=-1)
-    V = np.stack(vels)  # (T, N, 3)
-    half = V[steps // 2:]
-    print(f"\n=== {task} ({ttype}) cmd vx={vx} n={n} steps={steps} "
-          f"(dt={env.dt:.3f}s → {steps*env.dt:.1f}s) ===")
-    print(f"achieved vx (2nd half): mean {half[..., 0].mean():+.3f} "
-          f"p10 {np.percentile(half[..., 0].mean(0), 10):+.3f} "
-          f"p90 {np.percentile(half[..., 0].mean(0), 90):+.3f}")
-    print(f"achieved vy: {half[..., 1].mean():+.3f}  vz: {half[..., 2].mean():+.3f}")
-    print(f"base height: {np.stack(heights)[steps//2:].mean():.3f}")
-    print(f"distance from spawn @T: mean {dist.mean():.2f} m  "
-          f"median {np.median(dist):.2f}  max {dist.max():.2f} "
-          f"(promotion needs > {getattr(env, 'env_length', 8.0)/2:.1f})")
-    print(f"feet in contact (frac): {np.mean(contacts):.3f}")
-    print(f"mean |torque|: {np.mean(torq):.2f} Nm")
-    print(f"episodes terminated per env: mean {done_count.mean():.2f} "
-          f"(non-timeout resets indicate falls)")
-    if "terrain_levels" in state.ts:
-        print(f"terrain levels now: {np.asarray(state.ts['terrain_levels']).astype(float).mean():.2f}")
+    T = 300
+    pos_hist, vin_hist, cmd_hist, tq_hist, quat_hist = [], [], [], [], []
+    for t in range(T):
+        st = venv.state
+        p, vi, q, c, tq = grab(st)
+        pos_hist.append(p); vin_hist.append(vi); cmd_hist.append(c); tq_hist.append(tq)
+        quat_hist.append(q)
+        key, k = jax.random.split(key)
+        a = act(ts, obs_dict["obs"], k)
+        obs_dict, rew, done, _ = venv.step(a)
+
+    pos = np.stack(pos_hist)   # (T, N, 3)
+    vin = np.stack(vin_hist)   # (T, N, 3)
+    cmd = np.stack(cmd_hist)   # (T, N, 4)
+    tq = np.stack(tq_hist)     # (T, N, nd)
+    quat = np.stack(quat_hist)
+
+    dt = env.dt
+    # finite-difference world xy velocity, rotated into base frame (yaw only)
+    dp = (pos[1:] - pos[:-1]) / dt   # (T-1, N, 3) world
+    # base yaw from quaternion at step start
+    fwd = np.stack([1 - 2*(quat[..., 1]**2 + quat[..., 2]**2),
+                    2*(quat[..., 0]*quat[..., 1] + quat[..., 2]*quat[..., 3])], -1)
+    yaw = np.arctan2(fwd[..., 1], fwd[..., 0])[:-1]
+    c_, s_ = np.cos(yaw), np.sin(yaw)
+    vfd_x = c_ * dp[..., 0] + s_ * dp[..., 1]
+    vfd_y = -s_ * dp[..., 0] + c_ * dp[..., 1]
+
+    # skip first 50 steps (settle) and mask big jumps (resets/pushes)
+    sl = slice(50, T - 1)
+    jump = np.linalg.norm(dp[..., :2], axis=-1) > 3.0
+    w = ~jump[sl]
+
+    cmdn = np.linalg.norm(cmd[:-1, :, :2], axis=-1)[sl][w]
+    vin_xy = vin[:-1][sl][..., :2]
+    vfd = np.stack([vfd_x, vfd_y], -1)[sl]
+    err_inst = np.sum((cmd[:-1, :, :2][sl] - vin_xy) ** 2, -1)[w]
+    err_fd = np.sum((cmd[:-1, :, :2][sl] - vfd) ** 2, -1)[w]
+
+    print(f"mean |cmd|                 : {cmdn.mean():.3f} m/s")
+    print(f"mean |v_inst| (reward sees): {np.linalg.norm(vin_xy, axis=-1)[w].mean():.3f} m/s")
+    print(f"mean |v_fd|   (actual)     : {np.linalg.norm(vfd, axis=-1)[w].mean():.3f} m/s")
+    print(f"tracking rew (inst)        : {np.exp(-err_inst / 0.25).mean():.3f}")
+    print(f"tracking rew (fd)          : {np.exp(-err_fd / 0.25).mean():.3f}")
+    # net displacement over the window per env
+    net = np.linalg.norm(pos[T - 1, :, :2] - pos[50, :, :2], axis=-1)
+    print(f"net displacement ({(T-51)*dt:.1f}s)  : mean {net.mean():.2f} m")
+    sat = (tq[sl] > 79.0).mean()
+    print(f"torque-sat fraction (|tq|>79): {sat:.4f}")
+    print(f"mean |torque|              : {tq[sl].mean():.2f} Nm  p95 {np.percentile(tq[sl], 95):.1f}")
+    # correlation: per-sample v_inst vs v_fd (x component)
+    vi_f = vin_xy[w][..., 0].ravel(); vf_f = vfd[w][..., 0].ravel()
+    cc = np.corrcoef(vi_f, vf_f)[0, 1]
+    print(f"corr(v_inst_x, v_fd_x)     : {cc:.3f}")
+    # high-frequency content: per-step delta of v_inst
+    dv = np.abs(np.diff(vin[sl][..., 0], axis=0))
+    print(f"mean |delta v_inst_x| per step: {dv.mean():.3f} m/s (osc indicator)")
 
 
 if __name__ == "__main__":
