@@ -26,6 +26,13 @@ import jax as _jax
 # segfaults under --xla_force_host_platform_device_count multi-device CPU
 # (observed: put_executable_and_time -> SIGSEGV in the test suite).
 _platforms = _os.environ.get("JAX_PLATFORMS", "")
+if not _platforms:
+    # a sitecustomize may have pinned the platform list via jax.config
+    # without the env var spelling — read the config value too
+    try:
+        _platforms = str(_jax.config.jax_platforms or "")
+    except AttributeError:
+        _platforms = ""
 if _platforms.split(",")[0].strip().lower() == "cpu":
     _os.environ.setdefault("ISAACGYMENV_TPU_NO_CACHE", "1")
 

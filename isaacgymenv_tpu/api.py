@@ -31,6 +31,9 @@ def make(
     from isaacgymenv_tpu.utils.config import load_task_config
 
     task_cfg = load_task_config(task, cfg_override=cfg, num_envs=num_envs, **kwargs)
-    env_cls = registry.get_task(task)
+    # config-variant files select their env class via the cfg `name:` field
+    # (ref: hydra cfg task.name -> isaacgym_task_map, e.g.
+    # AllegroHandLSTM.yaml carries name: AllegroHand)
+    env_cls = registry.get_task(task_cfg.get("name", task))
     env = env_cls(task_cfg)
     return env.as_vec_env(seed=seed)

@@ -16,14 +16,14 @@ tasks/dextreme/adr_vec_task.py):
   latencies, delay probabilities, rna alpha) are governed by the tensorized
   ADR engine (utils/adr.py); the ADR objective is the per-episode
   consecutive-success count.
+- Dict observations: the flat `obs` concatenates the dict entries in the
+  documented fixed order, AND the per-key dict surface (incl. the
+  `*_randomized` duplicates) is exposed via `obs_dict["obs_dict"]` for the
+  ComplexObsRLGPUEnv-style key-selecting networks (see _obs_named below).
 - Deviations (documented):
-  - the reference's dict observation space is flattened by concatenating
-    the dict entries in the documented fixed order (the dict-obs network
-    wiring of ComplexObsRLGPUEnv is not reproduced yet);
   - ADR "range_path" builtin params (hand dof damping/stiffness/friction/
     armature/effort scales) are wired as per-env multiplicative scales on
-    the corresponding SimModel leaves; object scale / restitution DR are
-    deferred (geometry rescaling at runtime).
+    the corresponding SimModel leaves.
 """
 
 from __future__ import annotations

@@ -26,9 +26,9 @@ wrappers + allegro_kuka_utils.py):
 - subtasks: Reorientation (goal pose sampled in a volume above the table,
   8 cube-corner keypoints), Regrasping and Throw (single center keypoint;
   throw target fixed at the bucket position (-0.6, -1, +0.45) rel. arm).
-- Deviations (documented): single cube size (the procedural cuboid asset
-  set, generate_cuboids.py, is deferred); TwoArms variants deferred; the
-  bucket/ball/table meshes are simplified to box surfaces.
+- TwoArms variants: envs/allegro_kuka_two_arms.py.
+- Deviations (documented): the bucket/ball/table meshes are simplified to
+  box surfaces.
 """
 
 from __future__ import annotations

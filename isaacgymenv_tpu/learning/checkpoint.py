@@ -53,6 +53,20 @@ def save_train_state(ts, path: str, slim: bool = False) -> None:
             ts = ts.replace(**drop)
     # one batched transfer (per-leaf np.asarray pays a device round-trip
     # per leaf — ruinous through a remote device tunnel)
+    if jax.process_count() > 1:
+        # multi-process (jax.distributed): env-sharded leaves span
+        # non-addressable devices and cannot be fetched directly —
+        # allgather them so every rank saves the same GLOBAL state
+        # (the torchrun-equivalent path; ranks write distinct
+        # experiment dirs, see train.py multi-host entry)
+        from jax.experimental import multihost_utils
+
+        def fetch(x):
+            if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+                return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            return x
+
+        ts = jax.tree.map(fetch, ts)
     host = jax.device_get(ts)
     payload = {
         "format": _FORMAT,

@@ -425,8 +425,13 @@ def _use_fused(model, terrain, ctrl, state) -> bool:
     # the Mosaic kernel only wins on TPU; on the CPU backend pallas_call
     # falls back to the interpreter, which is ~400x SLOWER than the XLA
     # path (measured: Cartpole 128 envs, 229 vs 86k steps/s) and takes
-    # minutes to trace — tests exercise the kernel explicitly instead
-    if jax.default_backend() == "cpu":
+    # minutes to trace.  FORCE_FUSED bypasses the backend guard so the
+    # equivalence tests in tests/test_fused.py can drive the kernel in
+    # interpret mode on CPU (they'd otherwise compare XLA to itself).
+    if (
+        os.environ.get("ISAACGYMENV_TPU_FORCE_FUSED", "") != "1"
+        and jax.default_backend() == "cpu"
+    ):
         return False
     if state.q.ndim != 2:
         return False

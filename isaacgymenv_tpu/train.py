@@ -78,14 +78,29 @@ def main(argv=None):
     # the global JAX runtime before any backend query.  Triggered by the
     # standard coordinator env vars or Slurm multi-task launches
     # (ref: SURVEY.md §5.8; pbt/launcher_slurm.py)
-    if (
-        os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("JAX_COORDINATOR_ADDRESS")
-        or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
-    ):
+    coord = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coord or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1:
         import jax
 
-        jax.distributed.initialize()
+        # Slurm (and other recognized clusters) auto-detect; for the manual
+        # coordinator-env-var launch path, initialize() takes the explicit
+        # triplet (jax 0.9 has no generic env-var cluster detection)
+        n_proc = os.environ.get("NUM_PROCESSES") or os.environ.get(
+            "JAX_NUM_PROCESSES"
+        )
+        proc_id = os.environ.get("PROCESS_ID") or os.environ.get(
+            "JAX_PROCESS_ID"
+        )
+        if coord and n_proc is not None and proc_id is not None:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(n_proc),
+                process_id=int(proc_id),
+            )
+        else:
+            jax.distributed.initialize()
 
     from isaacgymenv_tpu.envs import registry
     from isaacgymenv_tpu.learning.checkpoint import load_train_state, save_train_state
@@ -134,7 +149,9 @@ def main(argv=None):
     if num_envs:
         task_cfg["env"]["numEnvs"] = int(num_envs)
 
-    env_cls = registry.get_task(task)
+    # config-variant files select their env class via the cfg `name:` field
+    # (ref: hydra cfg task.name -> isaacgym_task_map)
+    env_cls = registry.get_task(task_cfg.get("name", task))
     env = env_cls(task_cfg)
     algo = train_cfg["params"].get("algo", {}).get("name", "a2c_continuous")
 
@@ -218,6 +235,14 @@ def main(argv=None):
     t0 = time.time()
 
     init_ts = None
+    if sigma and not checkpoint:
+        # the reference applies the sigma override after _restore regardless
+        # of whether a checkpoint was given (ref train.py:217 + rl_games
+        # Runner._override_sigma) — build the fresh state now so a fresh
+        # training run honors sigma= too instead of silently ignoring it
+        init_ts = _override_sigma(agent.init(seed), float(sigma))
+        if use_dist:
+            init_ts = agent.shard_state(init_ts)
     if checkpoint:
         from isaacgymenv_tpu.learning.checkpoint import refill_slim
 

@@ -59,8 +59,25 @@ def deep_update(base: Dict, override: Dict) -> Dict:
 
 
 def load_yaml(path: str) -> Dict:
+    """Load a yaml config, resolving hydra-style `defaults:` inheritance.
+
+    A top-level `defaults: [Base, _self_]` list merges cfg/<dir>/Base.yaml
+    (recursively resolved) under the file's own keys — the thin variant
+    files mirror the reference's (e.g. ref cfg/task/AllegroHandFF.yaml,
+    cfg/train/ShadowHandOpenAI_FFPPO.yaml)."""
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        cfg = yaml.safe_load(f) or {}
+    defaults = cfg.pop("defaults", None)
+    if defaults:
+        base: Dict = {}
+        for d in defaults:
+            if d == "_self_":
+                continue
+            deep_update(
+                base, load_yaml(os.path.join(os.path.dirname(path), f"{d}.yaml"))
+            )
+        cfg = deep_update(base, cfg)
+    return cfg
 
 
 def load_task_config(

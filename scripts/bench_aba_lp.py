@@ -39,7 +39,11 @@ def bench(task: str, num_envs: int, variant: str) -> float:
 
     t0 = time.perf_counter()
     iters = 4
-    for _ in range(iters):
+    for i in range(iters):
+        # vary an input per call: damped dynamics converge to a fixpoint,
+        # and identical (executable, inputs) re-trigger the axon relay's
+        # memoization (reports 10-150x above peak — see verify SKILL.md)
+        actions = actions.at[:, 0].set(1e-3 * (i + 1))
         state, r = rollout(state, actions)
     float(r)
     dt = time.perf_counter() - t0

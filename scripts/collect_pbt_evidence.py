@@ -59,10 +59,11 @@ def main():
             continue
         with open(os.path.join(pdir, yamls[-1])) as f:
             meta = yaml.safe_load(f)
-        lines.append(
-            f"| {d} | {len(yamls)} | {meta.get('true_objective', '?'):.2f} "
-            f"| {meta.get('env_frames', '?'):,} |"
-        )
+        obj = meta.get("true_objective")
+        frames = meta.get("env_frames")
+        obj_s = f"{obj:.2f}" if isinstance(obj, (int, float)) else "?"
+        frames_s = f"{frames:,}" if isinstance(frames, int) else "?"
+        lines.append(f"| {d} | {len(yamls)} | {obj_s} | {frames_s} |")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

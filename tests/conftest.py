@@ -28,3 +28,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+
+import pytest  # noqa: E402
+
+_tests_since_clear = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executables():
+    """Free compiled executables periodically across the suite.
+
+    The monolithic run compiles 150+ distinct XLA programs (the 40-task
+    registry smoke alone compiles an env-step program per task); with all
+    of them held live, XLA:CPU's next backend_compile_and_load eventually
+    segfaults (observed twice at ~test #118, jax/_src/compiler.py:362).
+    Dropping the jit caches every few tests bounds live-executable count;
+    recompiles are cheap relative to a crashed suite.
+    """
+    yield
+    _tests_since_clear["n"] += 1
+    if _tests_since_clear["n"] >= 8:
+        _tests_since_clear["n"] = 0
+        jax.clear_caches()

@@ -108,6 +108,7 @@ def test_fused_matches_engine(substeps, monkeypatch):
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
     ref = engine.step(model, None, sim0, ctrl, dt, substeps)
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    monkeypatch.setenv("ISAACGYMENV_TPU_FORCE_FUSED", "1")
     out = engine.step(model, None, sim0, ctrl, dt, substeps)
 
     np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=2e-4, atol=2e-4)
@@ -185,6 +186,7 @@ def test_fused_dr_batched_matches_engine(substeps, monkeypatch):
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
     ref = engine.step(batched, None, sim0, ctrl, 0.02, substeps)
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    monkeypatch.setenv("ISAACGYMENV_TPU_FORCE_FUSED", "1")
     out = engine.step(batched, None, sim0, ctrl, 0.02, substeps)
 
     np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=2e-4, atol=2e-4)
@@ -236,6 +238,7 @@ def test_fused_terrain_wrench_friction_matches_engine(substeps, bumpy, monkeypat
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
     ref = engine.step(model, terrain, sim0, ctrl, 0.02, substeps)
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    monkeypatch.setenv("ISAACGYMENV_TPU_FORCE_FUSED", "1")
     out = engine.step(model, terrain, sim0, ctrl, 0.02, substeps)
 
     np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=2e-4, atol=2e-4)
@@ -318,6 +321,7 @@ def test_fused_pairs_anchors_tendons_gravcomp(substeps, monkeypatch):
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
     ref = engine.step(model, None, sim0, ctrl, 0.02, substeps)
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    monkeypatch.setenv("ISAACGYMENV_TPU_FORCE_FUSED", "1")
     out = engine.step(model, None, sim0, ctrl, 0.02, substeps)
 
     np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=5e-4, atol=5e-4)
@@ -377,6 +381,7 @@ def test_fused_static_body_geom(monkeypatch):
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "1")
     ref = engine.step(model, None, sim0, ctrl, 0.02, 2)
     monkeypatch.setenv("ISAACGYMENV_TPU_NO_FUSED", "")
+    monkeypatch.setenv("ISAACGYMENV_TPU_FORCE_FUSED", "1")
     out = engine.step(model, None, sim0, ctrl, 0.02, 2)
 
     np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q), rtol=2e-4, atol=2e-4)
