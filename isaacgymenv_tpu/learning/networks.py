@@ -83,12 +83,53 @@ class CentralValueNet(nn.Module):
         return nn.Dense(1, name="cv_value")(x)[..., 0]
 
 
+class _LSTMTrunk(nn.Module):
+    """MLP + LSTM trunk with the rl_games rnn builder's layout options.
+
+    before_mlp True puts the LSTM directly on the (raw) input with the MLP
+    after it (ref: cfg/train/AllegroKukaLSTMPPO.yaml rnn.before_mlp: True);
+    concat_input feeds the LSTM [trunk_out, input] (ShadowHandPPOLSTM);
+    layer_norm normalizes the LSTM input (rl_games rnn_ln).
+    """
+
+    units: Sequence[int]
+    activation: str
+    lstm_units: int
+    before_mlp: bool = False
+    concat_input: bool = False
+    layer_norm: bool = False
+    name_prefix: str = "a_"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, carry):
+        act = _ACT[self.activation]
+
+        def mlp(y):
+            for i, u in enumerate(self.units):
+                y = act(nn.Dense(u, name=f"{self.name_prefix}dense_{i}")(y))
+            return y
+
+        if self.before_mlp:
+            h = x
+        else:
+            h = mlp(x)
+            if self.concat_input:
+                h = jnp.concatenate([h, x], axis=-1)
+        if self.layer_norm:
+            h = nn.LayerNorm(name=f"{self.name_prefix}rnn_ln")(h)
+        cell = nn.OptimizedLSTMCell(self.lstm_units, name=f"{self.name_prefix}lstm")
+        carry, h = cell(carry, h)
+        if self.before_mlp:
+            h = mlp(h)
+        return h, carry
+
+
 class ActorCriticLSTM(nn.Module):
-    """MLP trunk -> LSTM -> gaussian actor + value heads.
+    """MLP/LSTM trunk -> gaussian actor + value heads.
 
     Mirrors rl_games' rnn builder (ref: cfg/train/AnymalTerrainPPO_LSTM.yaml,
-    ShadowHandOpenAI_LSTMPPO.yaml: rnn.name lstm, units, layers 1,
-    before_mlp False): the LSTM sits AFTER the MLP trunk.
+    ShadowHandOpenAI_LSTMPPO.yaml, AllegroKukaLSTMPPO.yaml: rnn.name lstm,
+    units, layers 1, before_mlp / concat_input / layer_norm options).
     """
 
     num_actions: int
@@ -97,15 +138,18 @@ class ActorCriticLSTM(nn.Module):
     lstm_units: int = 128
     sigma_init: float = 0.0
     fixed_sigma: bool = True
+    before_mlp: bool = False
+    concat_input: bool = False
+    layer_norm: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, carry):
-        act = _ACT[self.activation]
-        x = obs
-        for i, u in enumerate(self.units):
-            x = act(nn.Dense(u, name=f"a_dense_{i}")(x))
-        cell = nn.OptimizedLSTMCell(self.lstm_units, name="lstm")
-        carry, x = cell(carry, x)
+        x, carry = _LSTMTrunk(
+            units=self.units, activation=self.activation,
+            lstm_units=self.lstm_units, before_mlp=self.before_mlp,
+            concat_input=self.concat_input, layer_norm=self.layer_norm,
+            name_prefix="a_", name="trunk",
+        )(obs, carry)
         mu = nn.Dense(self.num_actions, name="mu", kernel_init=nn.initializers.orthogonal(0.01))(x)
         value = nn.Dense(1, name="value")(x)[..., 0]
         if self.fixed_sigma:
@@ -116,6 +160,34 @@ class ActorCriticLSTM(nn.Module):
         else:
             log_std = nn.Dense(self.num_actions, name="sigma")(x)
         return mu, log_std, value, carry
+
+    def initial_carry(self, batch: int):
+        z = jnp.zeros((batch, self.lstm_units))
+        return (z, z)
+
+
+class CentralValueLSTM(nn.Module):
+    """Recurrent privileged-state critic (rl_games central_value_config with
+    an rnn block — the DexPBT/asymm-LSTM configs, ref:
+    cfg/train/AllegroKukaLSTMPPO.yaml central_value_config.network.rnn).
+    Same trunk options as the policy LSTM; scalar value head."""
+
+    units: Sequence[int] = (512, 256, 128)
+    activation: str = "elu"
+    lstm_units: int = 512
+    before_mlp: bool = True
+    concat_input: bool = False
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, states: jnp.ndarray, carry):
+        x, carry = _LSTMTrunk(
+            units=self.units, activation=self.activation,
+            lstm_units=self.lstm_units, before_mlp=self.before_mlp,
+            concat_input=self.concat_input, layer_norm=self.layer_norm,
+            name_prefix="cv_", name="trunk",
+        )(states, carry)
+        return nn.Dense(1, name="cv_value")(x)[..., 0], carry
 
     def initial_carry(self, batch: int):
         z = jnp.zeros((batch, self.lstm_units))

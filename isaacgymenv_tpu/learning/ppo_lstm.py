@@ -28,7 +28,8 @@ from isaacgymenv_tpu.learning.running_stats import RunningStats
 
 @struct.dataclass
 class LSTMTrainState(TrainState):
-    rnn_state: Any = None  # (h, c) each (N, hidden)
+    rnn_state: Any = None     # (h, c) each (N, hidden)
+    cv_rnn_state: Any = None  # recurrent central value carry (None if FF cv)
 
 
 class LSTMPPO(PPO):
@@ -39,7 +40,7 @@ class LSTMPPO(PPO):
         rnn = net_cfg.get("rnn", {})
         mlp = net_cfg.get("mlp", {})
         space = net_cfg.get("space", {}).get("continuous", {})
-        self.seq_len = int(p["config"].get("seq_len", 4))
+        self.seq_len = int(p["config"].get("seq_len", p["config"].get("seq_length", 4)))
         assert self.cfg.horizon_length % self.seq_len == 0
         self.network = networks.ActorCriticLSTM(
             num_actions=env.num_actions,
@@ -48,7 +49,32 @@ class LSTMPPO(PPO):
             lstm_units=int(rnn.get("units", 128)),
             sigma_init=float(space.get("sigma_init", 0.0) if not isinstance(space.get("sigma_init"), dict) else 0.0),
             fixed_sigma=bool(space.get("fixed_sigma", True)),
+            before_mlp=bool(rnn.get("before_mlp", False)),
+            concat_input=bool(rnn.get("concat_input", False)),
+            layer_norm=bool(rnn.get("layer_norm", False)),
         )
+        # recurrent central value (rl_games central_value_config.network.rnn;
+        # the DexPBT/asymm-LSTM configs pair an LSTM policy with an LSTM
+        # privileged critic — ref cfg/train/AllegroKukaLSTMPPO.yaml)
+        cv_cfg = p.get("config", {}).get("central_value_config") or {}
+        cv_rnn = cv_cfg.get("network", {}).get("rnn")
+        self.cv_is_rnn = bool(self.central_value and cv_rnn)
+        if self.cv_is_rnn:
+            cv_mlp = cv_cfg.get("network", {}).get("mlp", {})
+            self.cv_network = networks.CentralValueLSTM(
+                units=tuple(cv_mlp.get("units", [512, 256, 128])),
+                activation=cv_mlp.get("activation", "elu"),
+                lstm_units=int(cv_rnn.get("units", 512)),
+                before_mlp=bool(cv_rnn.get("before_mlp", True)),
+                concat_input=bool(cv_rnn.get("concat_input", False)),
+                layer_norm=bool(cv_rnn.get("layer_norm", False)),
+            )
+
+    def _cv_value(self, ts, n_states, carry):
+        """Central value apply, recurrent or FF; returns (value, carry')."""
+        if self.cv_is_rnn:
+            return self.cv_network.apply(ts.cv_params, n_states, carry)
+        return self.cv_network.apply(ts.cv_params, n_states), carry
 
     # ------------------------------------------------------------------
     def init(self, seed: int) -> LSTMTrainState:
@@ -77,32 +103,45 @@ class LSTMPPO(PPO):
             mean_length=jnp.zeros((), jnp.float32),
         )
         fields = {f.name: getattr(base, f.name) for f in dataclasses.fields(TrainState)}
+        cv_rnn_state = None
         if self.central_value:
             key, k_cv = jax.random.split(key)
             last_states = self.env.observations(env_state)["states"]
+            if self.cv_is_rnn:
+                cv_params = self.cv_network.init(
+                    k_cv, last_states[:1], self.cv_network.initial_carry(1)
+                )
+                cv_rnn_state = self.cv_network.initial_carry(N)
+            else:
+                cv_params = self.cv_network.init(k_cv, last_states[:1])
             fields.update(
                 key=key,
                 last_states=last_states,
-                cv_params=self.cv_network.init(k_cv, last_states[:1]),
+                cv_params=cv_params,
                 states_stats=RunningStats.create((self.env.num_states,)),
             )
             fields["cv_opt_state"] = self.cv_tx.init(fields["cv_params"])
-        return LSTMTrainState(**fields, rnn_state=self.network.initial_carry(N))
+        return LSTMTrainState(
+            **fields, rnn_state=self.network.initial_carry(N),
+            cv_rnn_state=cv_rnn_state,
+        )
 
     # ------------------------------------------------------------------
     def _rollout(self, ts: LSTMTrainState):
         cfg = self.cfg
 
         def step_fn(carry, _):
-            env_state, obs, states, rnn, key, ep_ret, ep_len, m_ret, m_len = carry
+            (env_state, obs, states, rnn, cv_rnn, key,
+             ep_ret, ep_len, m_ret, m_len) = carry
             key, k_act = jax.random.split(key)
             n_obs = self._norm_obs(ts.obs_stats, obs)
             mu, log_std, value_n, rnn_next = self.network.apply(ts.params, n_obs, rnn)
+            cv_rnn_next = cv_rnn
             if self.central_value:
                 n_states = (
                     ts.states_stats.normalize(states) if cfg.normalize_input else states
                 )
-                value_n = self.cv_network.apply(ts.cv_params, n_states)
+                value_n, cv_rnn_next = self._cv_value(ts, n_states, cv_rnn)
             action = mu + jnp.exp(log_std) * self._policy_noise(k_act, mu)
             logp = networks.gaussian_logp(mu, log_std, action)
             value = ts.value_stats.denormalize(value_n) if cfg.normalize_value else value_n
@@ -130,18 +169,25 @@ class LSTMPPO(PPO):
             )
             if self.central_value:
                 out["states"] = states
+            if self.cv_is_rnn:
+                out["cv_h"], out["cv_c"] = cv_rnn[0], cv_rnn[1]
             # zero hidden state for envs that were reset (rl_games semantics)
             nd = (1.0 - d)[:, None]
             rnn_next = (rnn_next[0] * nd, rnn_next[1] * nd)
+            if self.cv_is_rnn:
+                cv_rnn_next = (cv_rnn_next[0] * nd, cv_rnn_next[1] * nd)
             next_states = obs_dict["states"] if self.central_value else states
-            return (env_state, obs_dict["obs"], next_states, rnn_next, key,
-                    ep_ret, ep_len, m_ret, m_len), out
+            return (env_state, obs_dict["obs"], next_states, rnn_next,
+                    cv_rnn_next, key, ep_ret, ep_len, m_ret, m_len), out
 
         states0 = ts.last_states if self.central_value else jnp.zeros(())
-        carry0 = (ts.env_state, ts.last_obs, states0, ts.rnn_state, ts.key,
-                  ts.ep_return, ts.ep_length, ts.mean_return, ts.mean_length)
+        cv_rnn0 = ts.cv_rnn_state if self.cv_is_rnn else jnp.zeros(())
+        carry0 = (ts.env_state, ts.last_obs, states0, ts.rnn_state, cv_rnn0,
+                  ts.key, ts.ep_return, ts.ep_length, ts.mean_return,
+                  ts.mean_length)
         carry, batch = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon_length)
-        env_state, last_obs, last_states, rnn, key, ep_ret, ep_len, m_ret, m_len = carry
+        (env_state, last_obs, last_states, rnn, cv_rnn, key,
+         ep_ret, ep_len, m_ret, m_len) = carry
         ts = ts.replace(
             env_state=env_state, last_obs=last_obs, rnn_state=rnn, key=key,
             ep_return=ep_ret, ep_length=ep_len,
@@ -149,6 +195,8 @@ class LSTMPPO(PPO):
         )
         if self.central_value:
             ts = ts.replace(last_states=last_states)
+        if self.cv_is_rnn:
+            ts = ts.replace(cv_rnn_state=cv_rnn)
         return ts, batch
 
     def _gae(self, ts: LSTMTrainState, batch):
@@ -158,7 +206,9 @@ class LSTMPPO(PPO):
                 ts.states_stats.normalize(ts.last_states)
                 if cfg.normalize_input else ts.last_states
             )
-            v_last_n = self.cv_network.apply(ts.cv_params, n_last_s)
+            v_last_n, _ = self._cv_value(
+                ts, n_last_s, ts.cv_rnn_state if self.cv_is_rnn else None
+            )
         else:
             n_last = self._norm_obs(ts.obs_stats, ts.last_obs)
             _, _, v_last_n, _ = self.network.apply(ts.params, n_last, ts.rnn_state)
@@ -192,7 +242,7 @@ class LSTMPPO(PPO):
 
         flat = {
             k: to_seq(v) for k, v in batch.items()
-            if k not in ("rnn_h", "rnn_c", "states")
+            if k not in ("rnn_h", "rnn_c", "states", "cv_h", "cv_c")
         }
         flat["adv"] = to_seq(advs)
         flat["ret"] = to_seq(returns)
@@ -301,7 +351,78 @@ class LSTMPPO(PPO):
             obs_stats=obs_stats, value_stats=value_stats, epoch=ts.epoch + 1,
         )
 
-        if self.central_value:
+        if self.central_value and self.cv_is_rnn:
+            # recurrent privileged critic: truncated-BPTT update over the
+            # same seq_len chunks as the policy (rl_games central value with
+            # an rnn block trains on sequences with stored initial states)
+            states_sq = to_seq(batch["states"])           # (B, S, ns)
+            ret_sq = to_seq(returns)                      # (B, S)
+            val_sq = to_seq(batch["value"])
+            cvh0 = batch["cv_h"].reshape(C, S, N, -1)[:, 0]
+            cvc0 = batch["cv_c"].reshape(C, S, N, -1)[:, 0]
+            cvh0 = jnp.moveaxis(cvh0, 1, 0).reshape(B, -1)
+            cvc0 = jnp.moveaxis(cvc0, 1, 0).reshape(B, -1)
+            states_stats = ts.states_stats
+            if cfg.normalize_input:
+                states_stats = states_stats.update(
+                    batch["states"].reshape((H * N, -1)), self.axis_name
+                )
+            if cfg.normalize_value:
+                ret_nq = value_stats.normalize(ret_sq, clip=jnp.inf)
+                val_nq = value_stats.normalize(val_sq, clip=jnp.inf)
+            else:
+                ret_nq, val_nq = ret_sq, val_sq
+
+            def cv_loss_fn(cv_params, mb_s, mb_h0, mb_c0, mb_ret, mb_val):
+                n_s = (
+                    states_stats.normalize(mb_s) if cfg.normalize_input else mb_s
+                )
+
+                def cell(carry, x):
+                    v, carry = self.cv_network.apply(cv_params, x, carry)
+                    return carry, v
+
+                _, value_n = jax.lax.scan(
+                    cell, (mb_h0, mb_c0), jnp.moveaxis(n_s, 1, 0)
+                )
+                value_n = jnp.moveaxis(value_n, 0, 1)
+                if cfg.clip_value:
+                    v_clipped = mb_val + jnp.clip(
+                        value_n - mb_val, -cfg.e_clip, cfg.e_clip
+                    )
+                    return jnp.maximum(
+                        (value_n - mb_ret) ** 2, (v_clipped - mb_ret) ** 2
+                    ).mean()
+                return ((value_n - mb_ret) ** 2).mean()
+
+            n_cv_mb = max(B * S // self.cfg.minibatch_size, 1)
+
+            def cv_minibatch_step(carry, mb_idx):
+                cv_params, cv_opt = carry
+                vl, grads = jax.value_and_grad(cv_loss_fn)(
+                    cv_params, states_sq[mb_idx], cvh0[mb_idx], cvc0[mb_idx],
+                    ret_nq[mb_idx], val_nq[mb_idx],
+                )
+                grads = self._pmean(grads)
+                updates, cv_opt = self.cv_tx.update(grads, cv_opt, cv_params)
+                cv_params = optax.apply_updates(cv_params, updates)
+                return (cv_params, cv_opt), vl
+
+            def cv_epoch_step(carry, k_perm):
+                perm = self._minibatch_perm(k_perm, B, n_cv_mb, env_major=True)
+                return jax.lax.scan(cv_minibatch_step, carry, perm)
+
+            key, k_cv = jax.random.split(ts.key)
+            (cv_params, cv_opt), cv_losses = jax.lax.scan(
+                cv_epoch_step, (ts.cv_params, ts.cv_opt_state),
+                jax.random.split(k_cv, self.cv_mini_epochs),
+            )
+            v_loss = cv_losses
+            ts = ts.replace(
+                cv_params=cv_params, cv_opt_state=cv_opt,
+                states_stats=states_stats, key=key,
+            )
+        elif self.central_value:
             # privileged-state critic update on the flat (H*N) batch (same
             # shape as the feedforward PPO central-value path)
             states_f = batch["states"].reshape((H * N, -1))

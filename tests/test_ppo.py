@@ -154,3 +154,49 @@ def test_lstm_ppo_central_value_runs():
         ts, info = agent.train_epoch(ts)
     assert np.isfinite(float(info["loss"]))
     assert np.isfinite(float(info["v_loss"]))
+
+
+def test_lstm_ppo_recurrent_central_value_runs():
+    """LSTM policy + RECURRENT central value (rl_games central_value_config
+    with an rnn block — the AllegroKuka/asymm-LSTM configs,
+    ref: cfg/train/AllegroHandLSTMPPO.yaml): truncated-BPTT critic update
+    with carried cv hidden state, zeroed on done."""
+    import jax.numpy as jnp
+
+    cfg, tcfg = small_cfgs(32)
+    tcfg["params"]["network"]["rnn"] = {
+        "name": "lstm", "units": 32, "layers": 1,
+        "before_mlp": True, "layer_norm": True,
+    }
+    tcfg["params"]["config"]["seq_len"] = 4
+    tcfg["params"]["config"]["horizon_length"] = 16
+    tcfg["params"]["config"]["minibatch_size"] = 32 * 16
+    tcfg["params"]["config"]["central_value_config"] = {
+        "mini_epochs": 2,
+        "learning_rate": 5e-4,
+        "network": {
+            "mlp": {"units": [32], "activation": "elu"},
+            "rnn": {"name": "lstm", "units": 32, "before_mlp": True,
+                    "layer_norm": True},
+        },
+    }
+
+    from isaacgymenv_tpu.learning.ppo_lstm import LSTMPPO
+
+    base_cls = registry.get_task("Cartpole")
+
+    class CartpoleAsym(base_cls):
+        num_states = 8
+
+        def _states(self, state, obs):
+            return jnp.concatenate([obs, obs**2], axis=-1)
+
+    env = CartpoleAsym(cfg)
+    agent = LSTMPPO(env, tcfg)
+    assert agent.central_value and agent.cv_is_rnn
+    ts = agent.init(0)
+    assert ts.cv_rnn_state is not None
+    for _ in range(3):
+        ts, info = agent.train_epoch(ts)
+    assert np.isfinite(float(info["loss"]))
+    assert np.isfinite(float(info["v_loss"]))
