@@ -150,6 +150,79 @@ class AllegroHandDextremeManualDR(AllegroHand):
             jax.random.PRNGKey(int(cfg.get("seed", 0)) + 123),
             self.num_envs, in_dims=16 + 7, out_dims=16,
         )
+        self._setup_scale_dr(cfg)
+
+    # ------------------------------------------------------------------
+    def _setup_scale_dr(self, cfg):
+        """Setup-only actor scale DR + the real random-param obs channel.
+
+        The reference randomizes hand and object SCALE once per env at
+        startup (task yaml actor_params.{hand,object}.scale,
+        setup_only: True, uniform [0.95, 1.05]) and feeds the drawn values
+        into the policy obs via cube_random_params / hand_random_params
+        (ref: tasks/dextreme/allegro_hand_dextreme.py:180, 1337-1341
+        randomisation_callback).  TPU-native: per-env geometry leaves are
+        DR-batched (joint_pos/geom/surf), the scales are kept for the obs.
+        Masses stay with the separate mass-DR axis (Isaac's set_actor_scale
+        rescales collision shapes; mass has its own randomization entry).
+        """
+        task_cfg = cfg.get("task", {})
+        ap = task_cfg.get("randomization_params", {}).get("actor_params", {})
+        rng = np.random.default_rng(int(cfg.get("seed", 0)) + 41)
+        n = self.num_envs
+
+        def sample(actor):
+            spec = (ap.get(actor) or {}).get("scale")
+            if not spec or not bool(task_cfg.get("randomize", False)):
+                return np.ones(n, np.float32)
+            lo, hi = spec.get("range", [1.0, 1.0])
+            return rng.uniform(lo, hi, n).astype(np.float32)
+
+        self.hand_scale_dr = sample("hand")
+        self.object_scale_dr = sample("object")
+        if np.allclose(self.hand_scale_dr, 1.0) and np.allclose(
+            self.object_scale_dr, 1.0
+        ):
+            return
+        m = self.model
+        # bodies are contiguous per actor (ModelBuilder.merge)
+        roots = list(m.actor_root) + [m.nb]
+        hand_bodies = set(range(roots[0], roots[1]))
+        obj_bodies = set(range(roots[1], roots[2] if len(roots) > 2 else m.nb))
+        s_of_body = np.ones((n, m.nb), np.float32)
+        for b in hand_bodies:
+            s_of_body[:, b] = self.hand_scale_dr
+        for b in obj_bodies:
+            s_of_body[:, b] = self.object_scale_dr
+
+        jp = np.asarray(m.joint_pos, np.float32)
+        jp = np.broadcast_to(jp, (n,) + jp.shape).copy()
+        for b in range(m.nb):
+            # scale link offsets about the actor origin; the root's own
+            # placement (world mount / free-joint q) is NOT scaled
+            if m.parent[b] >= 0:
+                jp[:, b] *= s_of_body[:, b, None]
+        go = np.asarray(m.geom_offset, np.float32)
+        go = np.broadcast_to(go, (n,) + go.shape).copy()
+        gr = np.asarray(m.geom_radius, np.float32)
+        gr = np.broadcast_to(gr, (n,) + gr.shape).copy()
+        for g, gb in enumerate(m.geom_body):
+            go[:, g] *= s_of_body[:, gb, None]
+            gr[:, g] *= s_of_body[:, gb]
+        repl = dict(
+            joint_pos=jnp.asarray(jp), geom_offset=jnp.asarray(go),
+            geom_radius=jnp.asarray(gr),
+        )
+        if m.n_pairs:
+            so = np.asarray(m.surf_offset, np.float32)
+            so = np.broadcast_to(so, (n,) + so.shape).copy()
+            ss = np.asarray(m.surf_size, np.float32)
+            ss = np.broadcast_to(ss, (n,) + ss.shape).copy()
+            for s_, sb in enumerate(m.surf_body):
+                so[:, s_] *= s_of_body[:, sb, None]
+                ss[:, s_] *= s_of_body[:, sb, None]
+            repl.update(surf_offset=jnp.asarray(so), surf_size=jnp.asarray(ss))
+        self.model = m.replace(**repl)
 
     # ------------------------------------------------------------------
     def _initial_ts(self, key):
@@ -304,6 +377,34 @@ class AllegroHandDextremeManualDR(AllegroHand):
         corr = state.ts[f"corr_noise_{key_name}"][..., : value.shape[-1]]
         return value + jnp.where(gate[:, None], white, 0.0) + corr_s * corr
 
+    def _cube_random_params(self, state, n):
+        """[object scale, object mass, object friction] per env — the real
+        values behind the reference's randomisation_callback channel
+        (ref: allegro_hand_dextreme.py:1337-1341).  Scale is the setup-only
+        draw; mass/friction read the LIVE per-env DR state when the DR
+        engine randomizes them, else the static model values."""
+        import jax.numpy as jnp
+
+        dr = state.ts.get("dr_params", {}) if isinstance(state.ts, dict) else {}
+        bm = dr.get("body_mass")
+        mass = (
+            bm[:, self.object_body]
+            if bm is not None
+            else jnp.full((n,), self.object_mass)  # static fallback (host float)
+        )
+        gf = dr.get("geom_friction")
+        obj_geoms = np.array(
+            [g for g, gb in enumerate(self.model.geom_body)
+             if gb == self.object_body], np.int32,
+        )
+        if gf is not None and obj_geoms.size:
+            fric = gf[:, obj_geoms].mean(-1)
+        else:
+            gfs = np.asarray(self.model.geom_friction, np.float32).reshape(-1)
+            f0 = gfs[obj_geoms].mean() if obj_geoms.size else gfs.mean()
+            fric = jnp.full((n,), float(f0))
+        return jnp.stack([jnp.asarray(self.object_scale_dr), mass, fric], -1)
+
     def _obs_dict(self, state, actions):
         p = self._obs_pieces(state)
         ts = state.ts
@@ -320,7 +421,8 @@ class AllegroHandDextremeManualDR(AllegroHand):
             "goal_pose": p["goal_pose"], "goal_relative_rot": p["goal_rel_rot"],
             "object_pose_cam": cam_pose, "goal_relative_rot_cam": cam_rel_rot,
             "last_actions": ts["actions"],
-            "cube_random_params": zeros(3), "hand_random_params": zeros(1),
+            "cube_random_params": self._cube_random_params(state, n),
+            "hand_random_params": jnp.asarray(self.hand_scale_dr)[:, None],
             "gravity_vec": jnp.broadcast_to(jnp.asarray(self.model.gravity), (n, 3)),
             "rot_dist": jnp.stack([p["rot_dist"], best], -1),
             "ft_states": p["ft_states"], "ft_force_torques": p["ft_wrench"],
@@ -621,7 +723,8 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
             "dof_pos": p["dp"], "dof_pos_randomized": dp_rand, "dof_vel": p["dv"],
             "dof_force": p["dof_force"], "object_vels": p["obj_vels"],
             "last_actions": ts["actions"],
-            "cube_random_params": zeros(3), "hand_random_params": zeros(1),
+            "cube_random_params": self._cube_random_params(state, n),
+            "hand_random_params": jnp.asarray(self.hand_scale_dr)[:, None],
             "gravity_vec": jnp.broadcast_to(jnp.asarray(self.model.gravity), (n, 3)),
             "ft_states": p["ft_states"], "ft_force_torques": p["ft_wrench"],
             "rb_forces": ts["rb_force"],

@@ -56,6 +56,130 @@ from isaacgymenv_tpu.physics.types import (
 from isaacgymenv_tpu.physics.urdf import AssetOptions, load_urdf
 from isaacgymenv_tpu.utils.config import asset_root
 
+def cuboid_scale_families(small: bool, big: bool, sticks: bool):
+    """Per-env cuboid scale triples — the DexPBT object-dimension DR axis.
+
+    Replicates generate_cuboids.py exactly (ref: tasks/allegro_kuka/
+    generate_cuboids.py:92-134): the default cube plus the small/big/stick
+    families, volume-filtered, with the thin-plate and non-elongated
+    filters, ordered by the reference's generated-filename sort
+    (allegro_kuka_base.py:533-541).  Returns a list of (sx, sy, sz) scale
+    factors of the base cube size.
+    """
+    def thin_plate(sc):
+        sc = sorted(sc)
+        return sc[0] * 3 <= sc[1]
+
+    def non_elongated(sc):
+        sc = sorted(sc)
+        return sc[2] <= sc[0] * 3 or sc[2] <= sc[1] * 3
+
+    def family(scales, vmin, vmax, filters):
+        out = []
+        idx = 0
+        for xs in scales:
+            for ys in scales:
+                for zs in scales:
+                    vol = xs * ys * zs / (100 * 100 * 100)
+                    if vol > vmax or vol < vmin:
+                        continue
+                    if any(f([xs, ys, zs]) for f in filters):
+                        continue
+                    out.append(
+                        (f"{idx:03d}_cube_{xs}_{ys}_{zs}", (xs / 100.0, ys / 100.0, zs / 100.0))
+                    )
+                    idx += 1
+        return out
+
+    files = family([100], 1.0, 1.0, [])
+    if small:
+        files += family(
+            [100, 50, 66, 75, 90, 110, 125, 150, 175, 200, 250, 300], 1.0, 2.5, []
+        )
+    if big:
+        files += family(
+            [100, 125, 150, 200, 250, 300, 350], 2.5, 15.0, [thin_plate]
+        )
+    if sticks:
+        files += family(
+            [100, 50, 75, 200, 300, 400, 500, 600], 2.5, 6.0,
+            [thin_plate, non_elongated],
+        )
+    # families share one directory and colliding filenames OVERWRITE
+    # (each generate_* call restarts idx at 0 — ref generate_assets:50)
+    by_name = {fname: sc for fname, sc in files}
+    return [by_name[k] for k in sorted(by_name)]
+
+
+def batch_object_dims(model, object_body: int, object_scales: np.ndarray,
+                      base_size: float):
+    """DR-batch the model's geometry leaves for per-env object dimensions.
+
+    The reference spawns a different generated cuboid URDF per env
+    (allegro_kuka_base.py:682-683 `i % len(object_assets)`); the TPU-native
+    equivalent batches the box surface half-extents, the 8 corner contact
+    spheres, and the mass/inertia of the object body to (N, ...) leaves —
+    the engine's XLA path gathers them with `[..., idx]` (contact.py) and
+    `fused_ok` routes such scenes off the Pallas kernel.
+    """
+    N = object_scales.shape[0]
+    half = (base_size / 2.0) * object_scales  # (N, 3)
+    ss = np.asarray(model.surf_size, np.float32)
+    ss = np.broadcast_to(ss, (N,) + ss.shape).copy()
+    for si, sb in enumerate(model.surf_body):
+        if sb == object_body:
+            ss[:, si] = half
+    gi = [i for i, gb in enumerate(model.geom_body) if gb == object_body]
+    gr = np.asarray(model.geom_radius, np.float32)
+    gr = np.broadcast_to(gr, (N,) + gr.shape).copy()
+    go = np.asarray(model.geom_offset, np.float32)
+    go = np.broadcast_to(go, (N,) + go.shape).copy()
+    r = np.maximum(half.min(-1) / 2.0, 1e-3)  # (N,) — _add_box_actor's rule
+    for i in gi:
+        sgn = np.sign(np.asarray(model.geom_offset, np.float32)[i])
+        gr[:, i] = r
+        go[:, i] = sgn * (half - r[:, None])
+    vol = object_scales.prod(-1)  # (N,)
+    bm = np.asarray(model.body_mass, np.float32)
+    base_mass = float(bm[object_body])
+    bm = np.broadcast_to(bm, (N,) + bm.shape).copy()
+    bm[:, object_body] = base_mass * vol
+    bi = np.asarray(model.body_inertia, np.float32)
+    bi = np.broadcast_to(bi, (N,) + bi.shape).copy()
+    d = 2.0 * half
+    mN = base_mass * vol
+    bi[:, object_body] = 0.0
+    bi[:, object_body, 0, 0] = mN / 12.0 * (d[:, 1] ** 2 + d[:, 2] ** 2)
+    bi[:, object_body, 1, 1] = mN / 12.0 * (d[:, 0] ** 2 + d[:, 2] ** 2)
+    bi[:, object_body, 2, 2] = mN / 12.0 * (d[:, 0] ** 2 + d[:, 1] ** 2)
+    # effective masses of the object's geoms/surface scale with its mass
+    gm = np.asarray(model.geom_meff, np.float32)
+    gm = np.broadcast_to(gm, (N,) + gm.shape).copy()
+    gm[:, gi] *= vol[:, None]
+    repl = dict(
+        surf_size=jnp.asarray(ss), geom_radius=jnp.asarray(gr),
+        geom_offset=jnp.asarray(go), body_mass=jnp.asarray(bm),
+        body_inertia=jnp.asarray(bi), geom_meff=jnp.asarray(gm),
+    )
+    for name in ("geom_meff_el",):
+        leaf = getattr(model, name, None)
+        if leaf is not None:
+            a = np.asarray(leaf, np.float32)
+            a = np.broadcast_to(a, (N,) + a.shape).copy()
+            a[:, gi] *= vol[:, None]
+            repl[name] = jnp.asarray(a)
+    for name in ("surf_meff", "surf_meff_el"):
+        leaf = getattr(model, name, None)
+        if leaf is not None:
+            a = np.asarray(leaf, np.float32)
+            a = np.broadcast_to(a, (N,) + a.shape).copy()
+            for si, sb in enumerate(model.surf_body):
+                if sb == object_body:
+                    a[:, si] *= vol
+            repl[name] = jnp.asarray(a)
+    return model.replace(**repl)
+
+
 KUKA_DEFAULT = (-1.571, 1.571, 0.0, 1.376, 0.0, 1.485, 2.358)  # ref :284-286
 FINGERTIPS = ("index_link_3", "middle_link_3", "ring_link_3", "thumb_link_3")
 FINGERTIP_OFFSETS = np.array(
@@ -161,8 +285,34 @@ class AllegroKukaBase(TaskEnv):
         self.dof_lower = jnp.asarray(self.model.dof_lower)
         self.dof_upper = jnp.asarray(self.model.dof_upper)
         self.default_dof = jnp.zeros(23).at[:7].set(jnp.array(KUKA_DEFAULT))
-        self.kp_offsets = jnp.array(
-            self.keypoint_offsets * OBJ_SIZE * self.keypoint_scale / 2.0
+        self._setup_object_scales(cfg)
+
+    def _setup_object_scales(self, cfg):
+        """Per-env object dimensions (DexPBT object-dimension DR; ref:
+        allegro_kuka_base.py:139 randomizeObjectDimensions, :682 env i gets
+        cuboid i % n_assets).  Sets self.object_scales (N, 3), batches the
+        model's geometry leaves, and builds per-env keypoint offsets."""
+        e = cfg["env"]
+        n = self.num_envs
+        if bool(e.get("randomizeObjectDimensions", False)):
+            fams = cuboid_scale_families(
+                small=bool(e.get("withSmallCuboids", True)),
+                big=bool(e.get("withBigCuboids", True)),
+                sticks=bool(e.get("withSticks", True)),
+            )
+        else:
+            fams = [(1.0, 1.0, 1.0)]
+        self.object_scales = np.array(
+            [fams[i % len(fams)] for i in range(n)], np.float32
+        )
+        if len(fams) > 1:
+            self.model = batch_object_dims(
+                self.model, self.object_body, self.object_scales, OBJ_SIZE
+            )
+        # (N, K, 3) keypoints scaled per env (ref :706-712)
+        self.kp_offsets = jnp.asarray(
+            self.keypoint_offsets[None, :, :]
+            * self.object_scales[:, None, :] * OBJ_SIZE * self.keypoint_scale / 2.0
         )
 
     # ------------------------------------------------------------------
@@ -284,10 +434,8 @@ class AllegroKukaBase(TaskEnv):
         ft_rot = sim.body_quat[:, ft]
         off = jnp.broadcast_to(jnp.asarray(FINGERTIP_OFFSETS), ft_pos.shape)
         ft_tip = ft_pos + maths.quat_rotate(ft_rot, off)
-        # keypoints
-        kp = jnp.broadcast_to(
-            self.kp_offsets, rs.shape[:-1] + self.kp_offsets.shape
-        )
+        # keypoints ((N, K, 3): per-env offsets under object-dimension DR)
+        kp = self.kp_offsets
         obj_rot_rep = jnp.broadcast_to(
             rs[:, None, 3:7], rs.shape[:-1] + (self.num_keypoints, 4)
         )
@@ -328,7 +476,7 @@ class AllegroKukaBase(TaskEnv):
                 jnp.concatenate([rs[:, 3:7], rs[:, 7:10], rs[:, 10:13]], -1),
                 ft_rel,
                 kp_rel_palm, kp_rel_goal,
-                jnp.full((n, 3), 1.0),  # object scales (single size)
+                jnp.asarray(self.object_scales),  # per-env cuboid scales (ref :213)
                 closest_kp[:, None],
                 ts["lifted"][:, None].astype(jnp.float32),
                 jnp.stack(

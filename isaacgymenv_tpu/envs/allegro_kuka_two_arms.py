@@ -105,9 +105,8 @@ class AllegroKukaTwoArmsBase(AllegroKukaBase):
         self.default_dof = jnp.concatenate(
             [jnp.zeros(23).at[:7].set(jnp.array(KUKA_DEFAULT))] * 2
         )
-        self.kp_offsets = jnp.array(
-            self.keypoint_offsets * OBJ_SIZE * self.keypoint_scale / 2.0
-        )
+        # per-env object scales + batched geometry (object-dimension DR)
+        self._setup_object_scales(cfg)
 
     # ------------------------------------------------------------------
     def _initial_ts(self, key):
@@ -184,7 +183,7 @@ class AllegroKukaTwoArmsBase(AllegroKukaBase):
             jnp.asarray(np.tile(FINGERTIP_OFFSETS, (2, 1))), ft_pos.shape
         )
         ft_tip = ft_pos + maths.quat_rotate(ft_rot, tip_off)
-        kp = jnp.broadcast_to(self.kp_offsets, rs.shape[:-1] + self.kp_offsets.shape)
+        kp = self.kp_offsets  # (N, K, 3): per-env under object-dimension DR
         obj_rot_rep = jnp.broadcast_to(rs[:, None, 3:7], rs.shape[:-1] + (self.num_keypoints, 4))
         goal_rot_rep = jnp.broadcast_to(
             state.ts["goal_rot"][:, None], rs.shape[:-1] + (self.num_keypoints, 4)
@@ -219,7 +218,7 @@ class AllegroKukaTwoArmsBase(AllegroKukaBase):
                 jnp.concatenate([rs[:, 3:7], rs[:, 7:10], rs[:, 10:13]], -1),
                 ft_rel,
                 kp_rel_palms, kp_rel_goal,
-                jnp.full((n, 3), 1.0),
+                jnp.asarray(self.object_scales),  # per-env cuboid scales
                 closest_kp[:, None],
                 ts["lifted"][:, None].astype(jnp.float32),
                 jnp.stack(

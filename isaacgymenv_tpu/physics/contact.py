@@ -82,11 +82,12 @@ def pair_active(model, geom_pos_w, body_pos_w, body_R_w) -> Optional[jnp.ndarray
     Rb = body_R_w[..., sb, :, :]
     R_s = Rb @ model.surf_rotm[ps]
     p_s = body_pos_w[..., sb, :] + jnp.einsum(
-        "...nij,...nj->...ni", Rb, jnp.broadcast_to(model.surf_offset[ps], c.shape)
+        "...nij,...nj->...ni", Rb,
+        jnp.broadcast_to(model.surf_offset[..., ps, :], c.shape),
     )
     local = jnp.einsum("...nji,...nj->...ni", R_s, c - p_s)
-    _, d_surf = _surface_closest(kind, local, size=model.surf_size[ps])
-    return (model.geom_radius[pg] - d_surf) > 0.0
+    _, d_surf = _surface_closest(kind, local, size=model.surf_size[..., ps, :])
+    return (model.geom_radius[..., pg] - d_surf) > 0.0
 
 
 def body_active_counts(model, act_g, act_p, batch_shape, act_sdf=None) -> jnp.ndarray:
@@ -373,13 +374,16 @@ def pair_contact_forces(
     kind = jnp.array([model.surf_kind[s] for s in model.pair_surf], jnp.int32)
 
     c = geom_pos_w[..., pg, :]  # (..., np, 3)
-    r = model.geom_radius[pg]
-    size = model.surf_size[ps]
+    # `[..., pg]`-style gathers keep the index on the geom/surface axis when
+    # the leaf is DR-batched per env (object-dimension randomization)
+    r = model.geom_radius[..., pg]
+    size = model.surf_size[..., ps, :]
     # surface frame in world
     Rb = body_R_w[..., sb, :, :]
     R_s = Rb @ model.surf_rotm[ps]
     p_s = body_pos_w[..., sb, :] + jnp.einsum(
-        "...nij,...nj->...ni", Rb, jnp.broadcast_to(model.surf_offset[ps], c.shape)
+        "...nij,...nj->...ni", Rb,
+        jnp.broadcast_to(model.surf_offset[..., ps, :], c.shape),
     )
     local = jnp.einsum("...nji,...nj->...ni", R_s, c - p_s)
     n_local, d_surf = _surface_closest(kind, local, size)
@@ -410,12 +414,12 @@ def pair_contact_forces(
     else:
         share_g = share_s = 1.0
     m_g = model.geom_meff[..., pg] * share_g
-    m_s = model.surf_meff[ps] * share_s
+    m_s = model.surf_meff[..., ps] * share_s
     m_pair = m_g * m_s / (m_g + m_s)  # reduced mass of the pair
     kappa = 0.25
     arrest = kappa * m_pair / h
     m_g_el = (model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff)[..., pg] * share_g
-    m_s_el = (model.surf_meff_el if model.surf_meff_el is not None else model.surf_meff)[ps] * share_s
+    m_s_el = (model.surf_meff_el if model.surf_meff_el is not None else model.surf_meff)[..., ps] * share_s
     m_pair_el = m_g_el * m_s_el / (m_g_el + m_s_el)
     kn_eff = jnp.minimum(kn, m_pair_el / (h * h))
 
@@ -427,7 +431,7 @@ def pair_contact_forces(
     fn = jnp.where(active, fn, 0.0)
 
     mu = jnp.sqrt(
-        model.geom_friction[..., pg] * model.surf_friction[ps]
+        model.geom_friction[..., pg] * model.surf_friction[..., ps]
     )
     # anchored-spring stiction on the pair's reduced min-direction mass
     # (see stiction_force / the ground path above)

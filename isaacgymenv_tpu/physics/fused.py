@@ -97,6 +97,22 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
                  model.tendon_range, model.body_gravcomp):
         if leaf is not None and isinstance(leaf, jax.core.Tracer):
             return False
+    # per-env object-dimension / actor-scale DR batches the geometry
+    # leaves — XLA path
+    if model.n_pairs and jnp.ndim(model.surf_size) != 2:
+        return False
+    if model.n_pairs and jnp.ndim(model.surf_offset) != 2:
+        return False
+    if jnp.ndim(model.geom_offset) != 2 or jnp.ndim(model.geom_radius) != 1:
+        return False
+    if jnp.ndim(model.joint_pos) != 2:
+        return False
+    if model.n_pairs and (
+        jnp.ndim(model.surf_meff) != 1 or jnp.ndim(model.surf_friction) != 1
+    ):
+        return False
+    if jnp.ndim(model.body_inertia) != 3:
+        return False
     # DR-batched leaves ride as runtime inputs; ndim is static metadata,
     # safe on tracers (DR-batched leaves under jit)
     if jnp.ndim(model.body_mass) not in (1, 2):

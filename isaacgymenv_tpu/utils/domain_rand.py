@@ -82,6 +82,12 @@ class DomainRandomizer:
         self.num_envs = num_envs
         self.frequency = int(self.spec.get("frequency", 1))
         self.obs_spec = self.spec.get("observations")
+        if self.obs_spec is not None and "range" not in self.obs_spec:
+            # per-KEY observation specs (the dextreme cfgs: dof_pos: {...},
+            # object_pose_cam: {...}) are consumed by the env's own per-key
+            # noise channel (allegro_hand_dextreme.obs_noise_spec), not the
+            # flat whole-obs noise here
+            self.obs_spec = None
         self.act_spec = self.spec.get("actions")
         self.sim_spec = self.spec.get("sim_params", {})
         # single-actor envs: merge all actors' specs (the shipped tasks
