@@ -91,6 +91,9 @@ class AllegroHand(ShadowHand):
         ob, _ = self._object_asset(cfg)
         mb.merge(ob)
         mb.gravity = np.array(self.gravity)
+        # fixed hand at z=0.5, fall-distance reset — ground unreachable
+        # (see shadow_hand.py _build_model; SimModel.no_ground)
+        mb.no_ground = True
         self.model = attach_effective_masses(mb.finalize())
         self._info = info
         self.object_actor = 1

@@ -409,6 +409,14 @@ class AnymalTerrain(TaskEnv):
             axis=-1,
         )
 
+    def _termination(self, cf, knee_contact):
+        """Non-timeout termination (ref: check_termination :300-307)."""
+        base_contact = jnp.linalg.norm(cf[:, self.base_index], axis=-1) > 1.0
+        done = base_contact
+        if not self.allow_knee_contacts:
+            done = done | jnp.any(knee_contact, axis=1)
+        return done
+
     def _reward_done(self, state, obs, actions):
         m = self.model
         ts = state.ts
@@ -471,11 +479,9 @@ class AnymalTerrain(TaskEnv):
         total = sum(r.values())
         total = jnp.clip(total, 0.0, None)
 
-        # termination (ref: check_termination :300-307)
-        base_contact = jnp.linalg.norm(cf[:, self.base_index], axis=-1) > 1.0
-        done = base_contact
-        if not self.allow_knee_contacts:
-            done = done | jnp.any(knee_contact, axis=1)
+        # termination (ref: check_termination :300-307; subclass hook —
+        # the fork's Hound variant uses a different rule)
+        done = self._termination(cf, knee_contact)
         timeout = state.progress >= self.max_episode_length - 1
         done = done | timeout
         total = total + S["termination"] * (done & ~timeout)

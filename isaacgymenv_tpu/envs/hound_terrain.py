@@ -3,8 +3,12 @@
 Behavioral spec (ref: tasks/Hound_terrain.py — a clone of anymal_terrain.py):
 - asset urdf/Hound_new/Hound.urdf, fixed joints kept (foot links exist),
   footName "foot", kneeName "thigh" (cfg/task/HoundTerrain.yaml urdfAsset)
-- termination on "trunk" contact only (Hound_terrain.py:302-308;
-  allowKneeContacts true disables the knee term)
+- termination (check_termination :304-309): "trunk" contact OR any "thigh"
+  contact OR any "shoulder" contact, all UNCONDITIONAL — the fork replaced
+  anymal's allowKneeContacts-gated rule (the gate survives only as a
+  commented-out block :311-314).  Crawling/kneeling is therefore terminal,
+  unlike our previous (wrongly inherited) anymal rule which let policies
+  settle into a knee-walk local optimum.
 - base height target 0.48 (Hound_terrain.py:347)
 - hip cosmetic penalty on the roll joints (dof [0,3,6,9] in the reference's
   PhysX ordering == the *_roll_joint dofs; Hound_terrain.py:375-376)
@@ -14,6 +18,7 @@ Behavioral spec (ref: tasks/Hound_terrain.py — a clone of anymal_terrain.py):
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from isaacgymenv_tpu.envs.anymal_terrain import AnymalTerrain
@@ -36,3 +41,19 @@ class HoundTerrain(AnymalTerrain):
         self.hip_dofs = np.array(
             [i for i, n in enumerate(self.model.dof_names) if "roll" in n]
         )
+        # shoulder links join the termination set (ref :257, :306 — the cfg
+        # baseName "shoulder" feeds base_indices; base_index is the
+        # hardcoded "trunk" lookup at :302)
+        self.shoulder_indices = np.array(
+            [i for i, n in enumerate(self.model.body_names) if "shoulder" in n]
+        )
+
+    def _termination(self, cf, knee_contact):
+        """Fork parity: trunk | any thigh | any shoulder contact, no
+        allowKneeContacts gate (ref Hound_terrain.py:304-309)."""
+        done = jnp.linalg.norm(cf[:, self.base_index], axis=-1) > 1.0
+        done = done | jnp.any(knee_contact, axis=1)
+        if len(self.shoulder_indices):
+            sh = jnp.linalg.norm(cf[:, self.shoulder_indices], axis=-1) > 1.0
+            done = done | jnp.any(sh, axis=1)
+        return done

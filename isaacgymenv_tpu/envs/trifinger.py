@@ -16,10 +16,11 @@ Behavioral spec (ref: tasks/trifinger.py):
 - reset (:783-990): robot default pose + noise, object random on table
   (uniform in circle), goal per task_difficulty (-1..4; default 4 = random
   pose in the air including orientation).
-- Deviations (documented): the high_table_boundary mesh (arena wall) is not
-  modeled — goals/inits stay within the arena and episodes are fixed-length,
-  so escapes are rare and reset by timeout; fingertip force sensors are
-  approximated by the tips' net contact wrenches.
+- Arena boundary: the high_table_boundary mesh (ref :187, :491) is modeled
+  as a cylindrical containment band (SURF_WALL, inner radius 0.195 m,
+  0.175 m tall) on the table body — the object cannot leave the workspace.
+- Deviations (documented): fingertip force sensors are approximated by the
+  tips' net contact wrenches.
 """
 
 from __future__ import annotations
@@ -133,6 +134,15 @@ class Trifinger(TaskEnv):
             inertia=B.box_inertia(10.0, 1.0, 1.0, 0.02),
         )
         rb.add_surface(table, B.ModelBuilder.SURF_BOX, (0, 0, 0), None, (0.5, 0.5, 0.01))
+        # arena boundary wall: the high_table_boundary mesh is an annulus of
+        # inner radius 0.195 m rising 0.175 m above the table (measured from
+        # the reference STL; ref trifinger.py:187, :491) — modeled as a
+        # cylindrical containment band on the table body (SURF_WALL).  The
+        # table body sits at z=-0.01, so the band center compensates +0.01.
+        rb.add_surface(
+            table, B.ModelBuilder.SURF_WALL, (0, 0, 0.0975), None,
+            (0.195, 0.0875, 0.0), friction=0.1,
+        )
         ob, _ = load_urdf(
             os.path.join(asset_root(), "trifinger/objects/urdf/cube_multicolor_rrc.urdf"),
             AssetOptions(density=260.0),  # ~74 g rrc cube

@@ -116,6 +116,7 @@ class ModelBuilder:
         # compile-time analog of PhysX's runtime broadphase culling; scenes
         # with many clutter actors use it to bound the static pair list)
         self.pair_filter = None
+        self.no_ground = False
 
     # -- construction ------------------------------------------------------
     def add_body(
@@ -167,6 +168,11 @@ class ModelBuilder:
 
     # surface kinds
     SURF_SPHERE, SURF_BOX, SURF_CAPSULE, SURF_CYLINDER = 0, 1, 2, 3
+    # cylindrical containment band (inward-facing wall): size [R, half_h, -];
+    # geoms inside radius R are free, crossing outward makes contact with an
+    # inward normal.  The trifinger arena boundary (ref: trifinger.py:187
+    # high_table_boundary.urdf).
+    SURF_WALL = 4
 
     def add_tendon(self, joint_names, coefs, lo: float, hi: float, k: float = 30.0, d: float = 0.1):
         """Fixed tendon L = sum(coef*q) limited to [lo, hi] (spring outside).
@@ -281,6 +287,7 @@ class ModelBuilder:
 
         ng = len(self.geom_body)
         model = SimModel(
+            no_ground=bool(self.no_ground),
             joint_pitch=tuple(float(b.pitch) for b in self.bodies),
             sensor_body=tuple(self.sensor_body),
             nb=nb,

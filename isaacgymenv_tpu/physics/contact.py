@@ -20,6 +20,31 @@ import numpy as np
 from flax import struct
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_matrix_np(idx: tuple, n_out: int):
+    import numpy as _np
+
+    M = _np.zeros((len(idx), n_out), _np.float32)
+    M[_np.arange(len(idx)), list(idx)] = 1.0
+    return M
+
+
+def _scatter_matrix(idx: tuple, n_out: int) -> jnp.ndarray:
+    """Static one-hot (len(idx), n_out) scatter matrix.
+
+    TPU-native replacement for `.at[..., idx, :].add(...)` accumulation:
+    XLA lowers scatter-add to a serialized loop on TPU, while the
+    equivalent einsum contraction rides the MXU (fp32 under the physics
+    precision scope).  idx is trace-time-static (model topology).  The
+    cached value is the HOST array — converting per call keeps each jit
+    trace's constant inside its own scope (a cached device array created
+    under one trace leaks a tracer into the next)."""
+    return jnp.asarray(_scatter_matrix_np(idx, n_out))
+
+
 @struct.dataclass
 class Heightfield:
     """Env-shared terrain grid (host-generated, ref: anymal_terrain.py:543)."""
@@ -101,14 +126,17 @@ def body_active_counts(model, act_g, act_p, batch_shape, act_sdf=None) -> jnp.nd
     were active than the worst case.)"""
     nb = model.nb
     counts = jnp.zeros(batch_shape + (nb,), jnp.float32)
-    gb = jnp.array(model.geom_body, jnp.int32)
-    counts = counts.at[..., gb].add(act_g.astype(jnp.float32))
+    Mg0 = _scatter_matrix(tuple(int(b) for b in model.geom_body), nb)
+    counts = counts + jnp.einsum("...g,gb->...b", act_g.astype(jnp.float32), Mg0)
     if act_p is not None:
-        pgb = jnp.array([model.geom_body[g] for g in model.pair_geom], jnp.int32)
-        psb = jnp.array([model.surf_body[s] for s in model.pair_surf], jnp.int32)
+        Mpg = _scatter_matrix(
+            tuple(int(model.geom_body[g]) for g in model.pair_geom), nb
+        )
+        Mps = _scatter_matrix(
+            tuple(int(model.surf_body[s]) for s in model.pair_surf), nb
+        )
         ap = act_p.astype(jnp.float32)
-        counts = counts.at[..., pgb].add(ap)
-        counts = counts.at[..., psb].add(ap)
+        counts = counts + jnp.einsum("...p,pb->...b", ap, Mpg + Mps)
     if act_sdf is not None:
         for k, a in enumerate(act_sdf):
             if a is None:
@@ -258,11 +286,9 @@ def contact_forces(
     lever = geom_pos_w - radius[..., None] * n - body_pos_w[..., gb, :]
     torque = jnp.cross(lever, f_world)
 
-    batch = f_world.shape[:-2]
-    body_force = jnp.zeros(batch + (nb, 3), f_world.dtype)
-    body_torque = jnp.zeros(batch + (nb, 3), f_world.dtype)
-    body_force = body_force.at[..., gb, :].add(f_world)
-    body_torque = body_torque.at[..., gb, :].add(torque)
+    M = _scatter_matrix(tuple(int(b) for b in model.geom_body), nb)
+    body_force = jnp.einsum("...gc,gb->...bc", f_world, M)
+    body_torque = jnp.einsum("...gc,gb->...bc", torque, M)
 
     f_ext_world = jnp.concatenate([body_torque, body_force], axis=-1)
     return f_ext_world, body_force, slip_new
@@ -336,15 +362,29 @@ def _surface_closest(kind_arr, local, size):
     n_in_cyl = jnp.where((dz > dr)[..., None], n_cap_in, n_rad_in)
     n_cyl = jnp.where((d_in < 0)[..., None], n_in_cyl, n_out_cyl)
 
+    # -- cylindrical containment band ("wall"): size = [R, half_h, -];
+    # the surface is the INSIDE of a cylinder of radius R over |z|<=half_h —
+    # distance to the wall is R - rho, normal points INWARD (the arena
+    # boundary keeping the object in; ref trifinger.py:187 boundary asset)
+    d_wall_band = size[..., 0] - rho
+    far = 1e6  # outside the z band: no contact
+    in_band = jnp.abs(local[..., 2]) <= size[..., 1]
+    d_wall = jnp.where(in_band, d_wall_band, far)
+    n_wall = jnp.concatenate(
+        [-radial_dir, jnp.zeros_like(local[..., 2:3])], axis=-1
+    )
+
     kind = kind_arr  # (np,) int
     n = n_cap
     n = jnp.where((kind == 0)[..., None], n_sph, n)
     n = jnp.where((kind == 1)[..., None], n_box, n)
     n = jnp.where((kind == 3)[..., None], n_cyl, n)
+    n = jnp.where((kind == 4)[..., None], n_wall, n)
     d = d_cap
     d = jnp.where(kind == 0, d_sph, d)
     d = jnp.where(kind == 1, d_box, d)
     d = jnp.where(kind == 3, d_cyl, d)
+    d = jnp.where(kind == 4, d_wall, d)
     return n, d
 
 
@@ -444,13 +484,20 @@ def pair_contact_forces(
     f = fn[..., None] * n + ft  # force ON the sphere body
 
     nb = model.nb
-    batch = f.shape[:-2]
-    body_force = jnp.zeros(batch + (nb, 3), f.dtype)
-    body_torque = jnp.zeros(batch + (nb, 3), f.dtype)
-    body_force = body_force.at[..., gb, :].add(f)
-    body_torque = body_torque.at[..., gb, :].add(jnp.cross(lever_g, f))
-    body_force = body_force.at[..., sb, :].add(-f)
-    body_torque = body_torque.at[..., sb, :].add(jnp.cross(lever_s, -f))
+    Mg = _scatter_matrix(
+        tuple(int(model.geom_body[g]) for g in model.pair_geom), nb
+    )
+    Ms = _scatter_matrix(
+        tuple(int(model.surf_body[s_]) for s_ in model.pair_surf), nb
+    )
+    body_force = (
+        jnp.einsum("...pc,pb->...bc", f, Mg)
+        - jnp.einsum("...pc,pb->...bc", f, Ms)
+    )
+    body_torque = (
+        jnp.einsum("...pc,pb->...bc", jnp.cross(lever_g, f), Mg)
+        + jnp.einsum("...pc,pb->...bc", jnp.cross(lever_s, -f), Ms)
+    )
     f_ext = jnp.concatenate([body_torque, body_force], axis=-1)
     return f_ext, body_force, slip_new
 

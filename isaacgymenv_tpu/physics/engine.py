@@ -204,7 +204,11 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     geom_vel_w = body_lin_w[..., gb, :] + jnp.cross(body_ang_w[..., gb, :], off_w)
     # live per-body active-contact counts renormalize every contact's
     # stiffness/impulse budget (XLA CSEs the duplicated penetration queries)
-    act_g = contact_mod.ground_active(model, terrain, geom_pos_w)
+    no_ground = bool(getattr(model, "no_ground", False))
+    act_g = (
+        jnp.zeros(geom_pos_w.shape[:-1], bool) if no_ground
+        else contact_mod.ground_active(model, terrain, geom_pos_w)
+    )
     act_p = contact_mod.pair_active(model, geom_pos_w, body_pos_w, R_w)
     act_s = (
         contact_mod.sdf_active(model, geom_pos_w, body_pos_w, R_w)
@@ -213,10 +217,18 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
     n_act = contact_mod.body_active_counts(
         model, act_g, act_p, geom_pos_w.shape[:-2], act_sdf=act_s
     )
-    f_ext, body_cf, slip_g = contact_mod.contact_forces(
-        model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt, n_active=n_act,
-        slip=state.slip_g, geom_ang_w=body_ang_w[..., gb, :],
-    )
+    if no_ground:
+        # scene guarantees no geom reaches the ground plane (model flag;
+        # see SimModel.no_ground) — skip the whole ground pass
+        zeros6 = jnp.zeros(body_pos_w.shape[:-1] + (6,), body_pos_w.dtype)
+        f_ext, body_cf = zeros6, zeros6[..., :3]
+        slip_g = state.slip_g
+    else:
+        f_ext, body_cf, slip_g = contact_mod.contact_forces(
+            model, terrain, geom_pos_w, geom_vel_w, body_pos_w, h=dt,
+            n_active=n_act, slip=state.slip_g,
+            geom_ang_w=body_ang_w[..., gb, :],
+        )
     slip_p = state.slip_p
     if model.n_pairs:
         f_pair, cf_pair, slip_p = contact_mod.pair_contact_forces(

@@ -81,6 +81,9 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     # SDF mesh colliders (grid gathers) run on the XLA path
     if model.n_sdf:
         return False
+    # containment walls (SURF_WALL, kind 4) are XLA-path only
+    if any(k == 4 for k in model.surf_kind):
+        return False
     # free joints are only fused at actor roots (the ABA backward pass
     # terminates articulated propagation there); mid-chain free joints fall
     # back to the XLA path
@@ -151,34 +154,40 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     return True
 
 
-def _block_s(num_envs: int, model: SimModel):
-    """Sublanes per grid cell, or None when no Mosaic-valid block fits VMEM.
+def _pair_modes(num_envs: int, model: SimModel):
+    """(sublanes per grid cell, slim_pairs) or None when nothing fits VMEM.
 
     Mosaic requires the block's sublane dim to be divisible by 8 OR equal
     to the full array dim (num_envs // 128) — so the only valid choices are
     S=8 (full fp32 tile) and, for small scenes, the whole array (grid=1).
-    When the scene's estimated live VMEM footprint would blow the ~16MB
-    scoped-vmem stack at every valid S (big pair scenes), the caller falls
-    back to the XLA path instead of emitting an un-lowerable kernel."""
-    # live (S,128)-valued registers: FK/ABA state + slim contact caches +
-    # carried stiction state (q/qd/slip in/out blocks are aliased)
-    V = (
-        20 * model.nb + 7 * model.ng + 8 * model.n_pairs
-        + 2 * (model.nq + model.nv + 2 * model.nd) + 300
-    )
-    # Empirical calibration (TPU v5e, 2026-08): Mosaic's ACTUAL scoped-vmem
-    # stack demand runs ~1.2-2.2x this register estimate (pipeline double
-    # buffering + spill headroom, and it grows when the scoped limit is
-    # raised via xla_tpu_scoped_vmem_limit_kib — raising the limit does NOT
-    # rescue an over-budget scene).  ShadowHand's 256-pair scene estimates
-    # 15.5MB but demands 19-34MB against the 16MB hardware limit at every
-    # valid S, so it correctly falls back to the XLA path.  The 14MB default
-    # keeps every shipped fused scene compiling with margin; override with
-    # the env var only for scenes you have compile-tested.
+
+    Empirical calibration (TPU v5e, 2026-08, measured across 4 scenes):
+    Mosaic's ACTUAL scoped-vmem stack demand runs ~2.2x this register
+    estimate in cache mode (pipeline double buffering + spill headroom;
+    raising xla_tpu_scoped_vmem_limit_kib does NOT rescue an over-budget
+    scene — demand grows with the limit).  Against the 16MB hardware
+    stack, estimates above ~7MB fail to lower, so the default budget is
+    7MB: Anymal (6.9M est) compiles, UsefulHound (8.0M, no pairs!) and
+    ShadowHand (13.9M, 256 pairs) correctly fall back to the XLA path.
+
+    The slim pair schedule (ISAACGYMENV_TPU_FUSED_SLIM=1: pass 1 keeps
+    only the active bit, pass 2 re-derives the surface query) is
+    experiment-only — Mosaic CSEs the recompute back into a cache and its
+    measured demand is WORSE than cache mode (ShadowHand: 31.3M vs 27.4M),
+    so it is never auto-selected."""
     import os
 
+    # live (S,128)-valued registers: FK/ABA state + contact caches +
+    # carried stiction state (q/qd/slip in/out blocks are aliased).
+    # no_ground scenes skip the ground pass and its slip state: only the
+    # 3/geom world offsets (pair inputs) stay live.
+    ng_regs = 3 * model.ng if model.no_ground else 7 * model.ng
+    base = (
+        20 * model.nb + ng_regs
+        + 2 * (model.nq + model.nv + 2 * model.nd) + 300
+    )
     budget = int(os.environ.get(
-        "ISAACGYMENV_TPU_FUSED_VMEM_BUDGET", 14 * 1024 * 1024
+        "ISAACGYMENV_TPU_FUSED_VMEM_BUDGET", 7 * 1024 * 1024
     ))
     full = num_envs // LANES
     candidates = []
@@ -186,10 +195,19 @@ def _block_s(num_envs: int, model: SimModel):
         candidates.append(8)
     if full != 8:
         candidates.append(full)  # grid=1: block == array, any sublane count
-    for s in candidates:
-        if V * s * LANES * 4 <= budget:
-            return s
+    force_slim = os.environ.get("ISAACGYMENV_TPU_FUSED_SLIM", "") == "1"
+    modes = ((True, 4),) if force_slim else ((False, 8),)
+    for slim, per_pair in modes:
+        V = base + per_pair * model.n_pairs
+        for s in candidates:
+            if V * s * LANES * 4 <= budget:
+                return s, slim
     return None
+
+
+def _block_s(num_envs: int, model: SimModel):
+    mode = _pair_modes(num_envs, model)
+    return None if mode is None else mode[0]
 
 
 # ---------------------------------------------------------------------------
@@ -428,12 +446,14 @@ def build_fused_substep(
     - grav_mode: DR-batched per-env gravity (N, 3) (sim_params gravity DR).
     """
     nb, nq, nv, nd, ng = model.nb, model.nq, model.nv, model.nd, model.ng
-    S = _block_s(num_envs, model)
-    if S is None:
+    mode = _pair_modes(num_envs, model)
+    if mode is None:
         raise ValueError(
             "no Mosaic-valid sublane block fits VMEM for this scene — "
             "fused_ok should have routed it to the XLA path"
         )
+    S, slim_pairs = mode
+    use_ground = not model.no_ground
     grid = num_envs // (S * LANES)
     h = float(dt)
 
@@ -552,21 +572,25 @@ def build_fused_substep(
         lo_ref = next(it) if dof_mode else None
         hi_ref = next(it) if dof_mode else None
         gv_ref = next(it) if grav_mode else None   # gravity (3,)
-        sg_ref = next(it) if ng else None          # stiction slip (ng*3,)
+        # no_ground scenes carry no ground-slip state through the kernel
+        sg_ref = next(it) if (ng and use_ground) else None  # slip (ng*3,)
         sp_ref = next(it) if n_pairs else None     # pair slip (n_pairs*3,)
         qo_ref, qdo_ref, dfo_ref, cf_ref, ct_ref = (next(it) for _ in range(5))
         jw_ref = next(it) if ns else None
-        sgo_ref = next(it) if ng else None
+        sgo_ref = next(it) if (ng and use_ground) else None
         spo_ref = next(it) if n_pairs else None
         q = [q_ref[i] for i in range(nq)]
         qd = [qd_ref[i] for i in range(nv)]
         tgt = [tgt_ref[i] for i in range(nd)]
         vtgt = [vtgt_ref[i] for i in range(nd)]
         eff = [eff_ref[i] for i in range(nd)]
-        slip_g = [
-            (sg_ref[3 * g], sg_ref[3 * g + 1], sg_ref[3 * g + 2])
-            for g in range(ng)
-        ]
+        slip_g = (
+            [
+                (sg_ref[3 * g], sg_ref[3 * g + 1], sg_ref[3 * g + 2])
+                for g in range(ng)
+            ]
+            if sg_ref is not None else []
+        )
         slip_p = [
             (sp_ref[3 * p_], sp_ref[3 * p_ + 1], sp_ref[3 * p_ + 2])
             for p_ in range(n_pairs)
@@ -639,23 +663,31 @@ def build_fused_substep(
                 return x.astype(jnp.float32) if hasattr(x, "astype") else jnp.float32(x)
 
             geom_off_w = {}
-            ground_cache = []
             for g in range(ng):
                 b = geom_body[g]
-                off_w = _mvec(R_w[b], tuple(float(x) for x in geom_off[g]))
-                geom_off_w[g] = off_w
-                pos_z = p_w[b][2] + off_w[2]
-                hgt = gh_ref[g] if terrain_mode else 0.0
-                depth = hgt + float(geom_r[g]) - pos_z
-                active = depth > 0.0
-                nact[b] = nact[b] + _b2f(active)
-                ground_cache.append((g, b, depth, active))
+                geom_off_w[g] = _mvec(R_w[b], tuple(float(x) for x in geom_off[g]))
+            ground_cache = []
+            if use_ground:
+                for g in range(ng):
+                    b = geom_body[g]
+                    off_w = geom_off_w[g]
+                    pos_z = p_w[b][2] + off_w[2]
+                    hgt = gh_ref[g] if terrain_mode else 0.0
+                    depth = hgt + float(geom_r[g]) - pos_z
+                    active = depth > 0.0
+                    nact[b] = nact[b] + _b2f(active)
+                    ground_cache.append((g, b, depth, active))
+
             # PASS 1 (pairs): geometry + activity (static pair list; mirrors
             # contact.pair_contact_forces — the closest-feature branch per
             # pair is selected at TRACE time from the static surface kind,
             # so each pair costs only its own geometry)
-            pair_cache = []
-            for pi in range(n_pairs):
+            def pair_query(pi):
+                """(gb, sb, R_s, depth, n_w) surface query for pair pi.
+
+                Called once per pass in slim mode (re-derives the geometry
+                instead of caching it across the passes — ~4 fewer live
+                registers per pair; see _pair_modes)."""
                 g = pair_geom[pi]
                 s_ = pair_surf[pi]
                 gb_, sb_ = geom_body[g], surf_body[s_]
@@ -728,10 +760,20 @@ def build_fused_substep(
                     )
                 n_w = _mvec(R_s, n_l)  # world, away from surface
                 depth = float(geom_r[g]) - d_surf
+                return g, gb_, sb_, depth, n_w
+
+            pair_cache = []
+            for pi in range(n_pairs):
+                g, gb_, sb_, depth, n_w = pair_query(pi)
                 active = depth > 0.0
                 nact[gb_] = nact[gb_] + _b2f(active)
                 nact[sb_] = nact[sb_] + _b2f(active)
-                pair_cache.append((g, s_, gb_, sb_, depth, active, n_w))
+                if slim_pairs:
+                    # keep only the activity bit live across the passes;
+                    # pass 2 re-derives the geometry (see _pair_modes)
+                    pair_cache.append((g, gb_, sb_, active))
+                else:
+                    pair_cache.append((g, gb_, sb_, depth, active, n_w))
 
             # live share factors (1/max(count, 1) per body with any contact)
             inv_nact = {}
@@ -814,9 +856,16 @@ def build_fused_substep(
                 ct_out[b] = _vadd(ct_out[b], torque)
 
             # PASS 2 (pairs): levers/velocities recomputed from the cached
-            # contact normal (cheap vs caching them across the passes)
+            # contact normal (cheap vs caching them across the passes); in
+            # slim mode the depth/normal themselves are re-derived too
             slip_p_new = list(slip_p)
-            for pi, (g, s_, gb_, sb_, depth, active, n_w) in enumerate(pair_cache):
+            for pi, entry in enumerate(pair_cache):
+                if slim_pairs:
+                    g, gb_, sb_, active = entry
+                    _, _, _, depth, n_w = pair_query(pi)
+                else:
+                    g, gb_, sb_, depth, active, n_w = entry
+                s_ = pair_surf[pi]
                 c = _vadd(p_w[gb_], geom_off_w[g])
                 r_g = float(geom_r[g])
                 x_c = tuple(c[k] - n_w[k] * r_g for k in range(3))
@@ -1202,9 +1251,10 @@ def build_fused_substep(
         for s_i in range(ns):
             for k in range(6):
                 jw_ref[s_i * 6 + k] = jw_last[s_i][k] + zero
-        for g in range(ng):
-            for k in range(3):
-                sgo_ref[3 * g + k] = slip_g[g][k] + zero
+        if sgo_ref is not None:
+            for g in range(ng):
+                for k in range(3):
+                    sgo_ref[3 * g + k] = slip_g[g][k] + zero
         for p_ in range(n_pairs):
             for k in range(3):
                 spo_ref[3 * p_ + k] = slip_p[p_][k] + zero
@@ -1225,12 +1275,13 @@ def build_fused_substep(
         (d, num_envs // LANES, LANES), jnp.float32
     )
 
+    slip_g_io = bool(ng) and use_ground
     out_specs = [spec(nq), spec(nv), spec(nd), spec(nb * 3), spec(nb * 3)]
     out_shapes = [shape(nq), shape(nv), shape(nd), shape(nb * 3), shape(nb * 3)]
     if ns:
         out_specs.append(spec(ns * 6))
         out_shapes.append(shape(ns * 6))
-    if ng:
+    if slip_g_io:
         out_specs.append(spec(ng * 3))
         out_shapes.append(shape(ng * 3))
     if n_pairs:
@@ -1253,11 +1304,11 @@ def build_fused_substep(
     # would otherwise be resident twice in VMEM (in + out), and the slip
     # blocks dominate big pair scenes (ShadowHand: 256 pairs x 3 lanes)
     io_aliases = {0: 0, 1: 1}
-    if ng:
+    if slip_g_io:
         io_aliases[len(in_specs)] = 5 + (1 if ns else 0)
         in_specs.append(spec(ng * 3))
     if n_pairs:
-        io_aliases[len(in_specs)] = 5 + (1 if ns else 0) + (1 if ng else 0)
+        io_aliases[len(in_specs)] = 5 + (1 if ns else 0) + (1 if slip_g_io else 0)
         in_specs.append(spec(n_pairs * 3))
 
     def run(q, qd, pos_target, vel_target, effort,
@@ -1293,7 +1344,7 @@ def build_fused_substep(
             args.append(bcast(dof_hi, nd))
         if grav_mode:
             args.append(bcast(gravity, 3))
-        if ng:
+        if slip_g_io:
             if slip_g is None:
                 slip_g = jnp.zeros((num_envs, ng, 3), f32)
             args.append(to_soa(slip_g.reshape(num_envs, ng * 3).astype(f32), ng * 3))
@@ -1323,9 +1374,15 @@ def build_fused_substep(
             jw = from_soa(outs[o]).reshape(num_envs, ns, 6)
             o += 1
         slip_g_new = slip_p_new = None
-        if ng:
+        if slip_g_io:
             slip_g_new = from_soa(outs[o]).reshape(num_envs, ng, 3)
             o += 1
+        elif ng:
+            # no_ground: ground slip never evolves — pass the state through
+            slip_g_new = (
+                slip_g if slip_g is not None
+                else jnp.zeros((num_envs, ng, 3), f32)
+            )
         if n_pairs:
             slip_p_new = from_soa(outs[o]).reshape(num_envs, n_pairs, 3)
         return q_new, qd_new, dof_force, cf, ct, jw, slip_g_new, slip_p_new

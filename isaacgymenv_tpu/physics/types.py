@@ -167,6 +167,14 @@ class SimModel:
     # distance grid rigidly attached to a body; contact spheres of OTHER
     # actors query it trilinearly (physics/sdf.py, contact.sdf_contact_forces).
     # Grids may differ in resolution, so they are a tuple of leaves. ---
+    # Scene flag: no geom can ever reach the world ground plane (e.g. the
+    # fixed-base in-hand manipulation scenes, where the object resets on
+    # fall distance far above z=0 — ref ShadowHand fallDistance 0.24 vs the
+    # hand mounted at z~0.5).  Skips the whole ground-contact pass; pair
+    # contacts are unaffected.  Purely an optimization switch: dynamics are
+    # bitwise identical when the flag is truthful.
+    no_ground: bool = struct.field(pytree_node=False, default=False)
+
     sdf_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     sdf_pair_geom: Tuple[Tuple[int, ...], ...] = struct.field(
         pytree_node=False, default=()

@@ -144,3 +144,51 @@ def test_shadow_hand_cube_rests_on_palm():
     # at least half the envs have a settled (near-static) cube at the end
     settled = (np.stack(speeds).min(0) < 0.25).sum()
     assert settled >= 2, f"cube not settling: end speeds {np.stack(speeds).min(0)}"
+
+
+def test_wall_surface_contains_object():
+    """SURF_WALL (cylindrical containment band): a sphere sliding outward
+    is stopped at the wall radius — the trifinger arena boundary model
+    (ref trifinger.py:187 high_table_boundary, inner radius 0.195)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isaacgymenv_tpu.physics import builder as B
+    from isaacgymenv_tpu.physics import engine
+    from isaacgymenv_tpu.physics.meff import attach_effective_masses
+    from isaacgymenv_tpu.physics.types import JT_FIXED, JT_FREE, make_zero_state, root_state
+
+    mb = B.ModelBuilder()
+    table = mb.add_body("table", -1, JT_FIXED, mass=10.0,
+                        inertia=B.box_inertia(10.0, 1.0, 1.0, 0.02))
+    mb.add_surface(table, B.ModelBuilder.SURF_BOX, (0, 0, -0.01), None, (0.5, 0.5, 0.01))
+    mb.add_surface(table, B.ModelBuilder.SURF_WALL, (0, 0, 0.1), None, (0.195, 0.1, 0.0))
+    ob = B.ModelBuilder()
+    b = ob.add_body("ball", -1, JT_FREE, mass=0.1, inertia=np.diag([4e-5] * 3))
+    ob.add_geom_sphere(b, (0, 0, 0), 0.03, friction=0.3)
+    mb.merge(ob)
+    mb.gravity = np.array([0.0, 0.0, -9.81])
+    model = attach_effective_masses(mb.finalize())
+
+    n = 4
+    st = make_zero_state(model, n)
+    qa = model.q_adr[model.actor_root[1]]
+    q = st.q.at[:, qa + 2].set(0.05)
+    # launch outward at 1.5 m/s in +x
+    qd = st.qd.at[:, model.v_adr[model.actor_root[1]] + 3].set(1.5)
+    st = engine.forward(model, None, st.replace(q=q, qd=qd))
+    import jax
+
+    @jax.jit
+    def roll(s):
+        def body(s, _):
+            return engine.step(model, None, s, engine.Control.zero(model, n), 0.01, 4), None
+        s, _ = jax.lax.scan(body, s, None, length=120)  # 1.2 s
+        return s
+
+    st = roll(st)
+    rs = np.asarray(root_state(model, st)[:, 1])
+    rho = np.linalg.norm(rs[:, 0:2], axis=-1)
+    # contained: never past the wall radius (plus a small compliance margin)
+    assert (rho < 0.195 + 0.01).all(), f"escaped the arena: rho={rho}"
+    assert (rs[:, 2] > 0.0).all()
