@@ -237,7 +237,18 @@ def contact_forces(
     # never remove more than a fraction of the body's momentum in one
     # substep, which makes the scheme unconditionally stable for arbitrarily
     # light bodies (nv_ant feet are 50 g) with NO per-task damping tuning.
+    # Damping caps (impulse budgets per substep, as a fraction kappa of
+    # the momentum an explicit damper may remove):
+    # - NORMAL: kappa_n = 1.0 — the DEADBEAT limit c = m/h (stable; c<2m/h
+    #   oscillates only above it).  The old 0.25 cap allowed zeta ~ 0.125,
+    #   i.e. restitution ~ 0.8: light objects BOUNCED indefinitely on
+    #   surfaces (AllegroKuka cube never settled on its table) even though
+    #   every shipped config requests restitution 0.  h-invariant, so more
+    #   substeps never fixed it.
+    # - TANGENTIAL: kappa_t = 0.25 — the stiction anchor spring carries the
+    #   static force; the damper only shapes sliding, keep it light.
     kappa = 0.25
+    kappa_n = 1.0
     # live contact-multiplicity renormalization (see body_active_counts)
     if n_active is not None:
         gb_idx = jnp.array(model.geom_body, jnp.int32)
@@ -245,6 +256,7 @@ def contact_forces(
     else:
         share = 1.0
     arrest = kappa * model.geom_meff * share / h  # N per (m/s)
+    arrest_n = kappa_n * model.geom_meff * share / h
     # elastic stiffness capped at the explicit stability bound, but against
     # the NORMAL-direction (max) effective mass: a standing anymal foot
     # carries tens of kg along the contact normal even though its swing
@@ -257,7 +269,7 @@ def contact_forces(
     # spring force during separation (restitution < 1 — approach-only
     # damping returned the stored spring energy nearly elastically, pumping
     # light in-hand objects off the palm); clamped at zero (no adhesion)
-    f_damp = jnp.minimum(kd * d_pos, arrest) * (-v_n)
+    f_damp = jnp.minimum(kd * d_pos, arrest_n) * (-v_n)
     fn = jnp.maximum(kn_eff * d_pos + f_damp, 0.0)
     fn = jnp.where(active, fn, 0.0)
 
@@ -457,7 +469,9 @@ def pair_contact_forces(
     m_s = model.surf_meff[..., ps] * share_s
     m_pair = m_g * m_s / (m_g + m_s)  # reduced mass of the pair
     kappa = 0.25
+    kappa_n = 1.0  # deadbeat normal damping cap (see the ground path)
     arrest = kappa * m_pair / h
+    arrest_n = kappa_n * m_pair / h
     m_g_el = (model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff)[..., pg] * share_g
     m_s_el = (model.surf_meff_el if model.surf_meff_el is not None else model.surf_meff)[..., ps] * share_s
     m_pair_el = m_g_el * m_s_el / (m_g_el + m_s_el)
@@ -466,7 +480,7 @@ def pair_contact_forces(
     d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
     # signed Hunt-Crossley damping, clamped to no adhesion (see the ground
     # contact above: approach-only damping made pair contacts near-elastic)
-    f_damp = jnp.minimum(kd * d_pos, arrest) * (-v_n)
+    f_damp = jnp.minimum(kd * d_pos, arrest_n) * (-v_n)
     fn = jnp.maximum(kn_eff * d_pos + f_damp, 0.0)
     fn = jnp.where(active, fn, 0.0)
 
@@ -600,7 +614,9 @@ def sdf_contact_forces(
         m_s = model.sdf_meff[k] * share_s
         m_pair = m_g * m_s / (m_g + m_s)
         kappa = 0.25
+        kappa_n = 1.0  # deadbeat normal damping cap (see the ground path)
         arrest = kappa * m_pair / h
+        arrest_n = kappa_n * m_pair / h
         m_g_el = (
             model.geom_meff_el if model.geom_meff_el is not None else model.geom_meff
         )[..., pg] * share_g
@@ -611,7 +627,7 @@ def sdf_contact_forces(
         kn_eff = jnp.minimum(kn, m_pair_el / (h * h))
 
         d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
-        f_damp = jnp.minimum(kd * d_pos, arrest) * (-v_n)
+        f_damp = jnp.minimum(kd * d_pos, arrest_n) * (-v_n)
         fn = jnp.maximum(kn_eff * d_pos + f_damp, 0.0)
         fn = jnp.where(active, fn, 0.0)
 

@@ -802,6 +802,7 @@ def build_fused_substep(
                 share = inv_nact[b]
                 meff_g = (me_ref[g] if mass_mode else float(geom_meff[g])) * share
                 arrest = 0.25 * meff_g / h
+                arrest_n = 1.0 * meff_g / h  # deadbeat normal cap (engine parity)
                 if _el_static:
                     kn_eff = jnp.minimum(
                         kn_c, float(geom_meff_el[g]) * share / (h * h)
@@ -816,7 +817,7 @@ def build_fused_substep(
                 v_n = vel[0] * n_g[0] + vel[1] * n_g[1] + vel[2] * n_g[2]
                 v_t = tuple(vel[k] - v_n * n_g[k] for k in range(3))
                 # signed Hunt-Crossley damping, no adhesion (engine parity)
-                f_damp = jnp.minimum(kd_c * d_pos, arrest) * (-v_n)
+                f_damp = jnp.minimum(kd_c * d_pos, arrest_n) * (-v_n)
                 fn = jnp.where(
                     active, jnp.maximum(kn_eff * d_pos + f_damp, 0.0), 0.0
                 )
@@ -884,6 +885,7 @@ def build_fused_substep(
                 m_s_ = float(surf_meff_c[s_]) * share_s
                 m_pair = m_g_ * m_s_ / (m_g_ + m_s_)
                 arrest = 0.25 * m_pair / h
+                arrest_n = 1.0 * m_pair / h  # deadbeat normal cap (engine parity)
                 ms_el = float(surf_meff_el_c[s_]) * share_s
                 if _el_static:
                     mg_el = float(geom_meff_el[g]) * share_g
@@ -896,7 +898,7 @@ def build_fused_substep(
                 )
                 d_pos = jnp.minimum(jnp.maximum(depth, 0.0), 0.05)
                 # signed Hunt-Crossley damping, no adhesion (engine parity)
-                f_damp = jnp.minimum(kd_c * d_pos, arrest) * (-v_n)
+                f_damp = jnp.minimum(kd_c * d_pos, arrest_n) * (-v_n)
                 fn = jnp.where(
                     active, jnp.maximum(kn_eff * d_pos + f_damp, 0.0), 0.0
                 )
