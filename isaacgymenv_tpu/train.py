@@ -73,6 +73,10 @@ def main(argv=None):
     # multi_gpu=True|False|auto (ref: train.py:120, README.md:167-172):
     # auto shards the env axis over every visible device when >1
     multi_gpu = kv.pop("multi_gpu", "auto").lower()
+    # capture_video=True records a policy rollout of the trained checkpoint
+    # to <run_dir>/videos/<experiment>.gif after training (the headless
+    # equivalent of the reference's RecordVideo wrapper, ref train.py:140-147)
+    capture_video = kv.pop("capture_video", "False").lower() in ("true", "1")
 
     # multi-host entry (the torchrun equivalent): one process per host joins
     # the global JAX runtime before any backend query.  Triggered by the
@@ -342,6 +346,27 @@ def main(argv=None):
     steps = per_epoch * int(ts.epoch)
     dt = time.time() - t0
     print(f"saved {path}; {steps:,} env steps in {dt:.1f}s ({steps/dt:,.0f} steps/s)")
+
+    if capture_video:
+        import subprocess
+
+        replay = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "replay.py",
+        )
+        vid_dir = os.path.join(run_dir, "videos")
+        os.makedirs(vid_dir, exist_ok=True)
+        npz = os.path.join(vid_dir, f"{experiment}.npz")
+        gif = os.path.join(vid_dir, f"{experiment}.gif")
+        subprocess.run(
+            [sys.executable, replay, "record", f"task={task}", "steps=300",
+             f"out={npz}", f"checkpoint={path}", "actions=policy"],
+            check=False,
+        )
+        subprocess.run(
+            [sys.executable, replay, "render", npz, f"out={gif}"], check=False
+        )
+        print(f"video: {gif}")
 
 
 if __name__ == "__main__":
