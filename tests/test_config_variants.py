@@ -61,3 +61,26 @@ def test_variant_smoke_shadow_hand_test():
     obs = env.reset()
     obs, rew, done, extras = env.step(jnp.zeros((4, env.num_actions)))
     assert obs["obs"].shape[0] == 4
+
+
+def test_allegro_kuka_lstm_train_epoch():
+    """AllegroKukaLSTM task cfg + AllegroKukaLSTMPPO train cfg (the DexPBT
+    default nets: LSTM 768 before the MLP, layer norm) construct the LSTM
+    learner and complete a training epoch."""
+    import jax.numpy as jnp
+
+    from isaacgymenv_tpu.learning.ppo_lstm import LSTMPPO
+    from isaacgymenv_tpu.utils.config import load_train_config
+
+    cfg = load_task_config("AllegroKukaLSTM")
+    cfg["env"]["numEnvs"] = 8
+    tcfg = load_train_config("x", "AllegroKukaLSTMPPO")
+    tcfg["params"]["config"]["minibatch_size"] = 8 * 8
+    tcfg["params"]["config"]["horizon_length"] = 8
+    tcfg["params"]["config"]["seq_len"] = 4
+    env = registry.get_task(cfg.get("name"))(cfg)
+    agent = LSTMPPO(env, tcfg)
+    assert agent.network.lstm_units == 768 and agent.network.before_mlp
+    ts = agent.init(0)
+    ts, info = agent.train_epoch(ts)
+    assert jnp.isfinite(info["loss"])
