@@ -18,10 +18,7 @@ wait_tpu() {
     sleep 120
     waited=$((waited + 120))
     echo "  (waiting for TPU: ${waited}s)"
-    if [ "$waited" -ge 14400 ]; then
-      echo "  TPU never came back after 4h — giving up on the queue"
-      exit 1
-    fi
+    # no give-up: the queue runs whatever fits before the round ends
   done
 }
 
