@@ -250,8 +250,11 @@ def _substep(model: SimModel, terrain, state: SimState, ctrl: Control, dt: float
         )
     if model.body_gravcomp is not None:
         # per-body anti-gravity at the COM (disable_gravity equivalent)
+        # gravity may be DR-batched (n, 3): align it on a body axis so it
+        # broadcasts against the (n, nb, 1) per-body mass term
         f_g = jnp.broadcast_to(
-            -(model.body_gravcomp * model.body_mass)[..., :, None] * model.gravity,
+            -(model.body_gravcomp * model.body_mass)[..., :, None]
+            * model.gravity[..., None, :],
             body_pos_w.shape,
         )
         com_w = jnp.einsum("...nij,...nj->...ni", R_w, jnp.broadcast_to(
@@ -351,10 +354,14 @@ def step(
                 state.q.shape[:-1] + (model.n_pairs, 3), state.q.dtype
             )
         )
-    if _use_fused(model, terrain, ctrl, state):
-        # single fused Pallas kernel for the whole substep loop: every
-        # FK/ABA/contact intermediate stays in VMEM (physics/fused.py)
+    fused_kind = _use_fused(model, terrain, ctrl, state)
+    if fused_kind:
+        # "mono": single fused Pallas kernel for the whole substep loop —
+        # every FK/ABA/contact intermediate stays in VMEM (physics/fused.py).
+        # "split": contacts + dynamics kernel pair for scenes whose live
+        # register set exceeds the monolith's VMEM wall (fused_split.py).
         from isaacgymenv_tpu.physics import fused as fused_mod
+        from isaacgymenv_tpu.physics import fused_split as split_mod
 
         n = state.q.shape[0]
         terrain_mode = terrain is not None
@@ -371,7 +378,11 @@ def step(
                       model.dof_lower, model.dof_upper)
         )
         grav_mode = jnp.ndim(model.gravity) == 2
-        run = fused_mod.build_fused_substep(
+        builder = (
+            fused_mod.build_fused_substep if fused_kind == "mono"
+            else split_mod.build_split_substep
+        )
+        run = builder(
             model, h, substeps, n,
             interpret=jax.default_backend() not in ("tpu",),
             terrain_mode=terrain_mode, wrench_mode=wrench_mode,
@@ -430,26 +441,45 @@ def step(
     return forward(model, terrain, state)
 
 
-def _use_fused(model, terrain, ctrl, state) -> bool:
-    # opt-out escape hatch; see physics/fused.py for the fast-path scope
+def _use_fused(model, terrain, ctrl, state):
+    """Fast-path dispatch: "mono" | "split" | None (XLA path).
+
+    The monolithic kernel wins when its live-register set fits VMEM; big
+    scenes (ShadowHand's 256 contact pairs, UsefulHound's 21-body chain)
+    take the split contacts+dynamics kernel pair instead of falling all
+    the way back to the many-small-kernels XLA path."""
+    # opt-out escape hatches; see physics/fused.py for the fast-path scope
     if os.environ.get("ISAACGYMENV_TPU_NO_FUSED", "") == "1":
-        return False
+        return None
     # the Mosaic kernel only wins on TPU; on the CPU backend pallas_call
     # falls back to the interpreter, which is ~400x SLOWER than the XLA
     # path (measured: Cartpole 128 envs, 229 vs 86k steps/s) and takes
-    # minutes to trace.  FORCE_FUSED bypasses the backend guard so the
-    # equivalence tests in tests/test_fused.py can drive the kernel in
-    # interpret mode on CPU (they'd otherwise compare XLA to itself).
-    if (
-        os.environ.get("ISAACGYMENV_TPU_FORCE_FUSED", "") != "1"
-        and jax.default_backend() == "cpu"
-    ):
-        return False
+    # minutes to trace.  FORCE_FUSED/FORCE_SPLIT bypass the backend guard
+    # so the equivalence tests in tests/test_fused*.py can drive the
+    # kernels in interpret mode on CPU (they'd otherwise compare XLA to
+    # itself).
+    force_mono = os.environ.get("ISAACGYMENV_TPU_FORCE_FUSED", "") == "1"
+    force_split = os.environ.get("ISAACGYMENV_TPU_FORCE_SPLIT", "") == "1"
+    if not (force_mono or force_split) and jax.default_backend() == "cpu":
+        return None
     if state.q.ndim != 2:
-        return False
+        return None
     from isaacgymenv_tpu.physics import fused as fused_mod
+    from isaacgymenv_tpu.physics import fused_split as split_mod
 
-    return fused_mod.fused_ok(model, terrain, ctrl.body_wrench, state.q.shape[0])
+    n = state.q.shape[0]
+    if not fused_mod.fused_structural_ok(model, terrain, ctrl.body_wrench, n):
+        return None
+    if force_split:
+        return "split"
+    if fused_mod.fused_ok(model, terrain, ctrl.body_wrench, n):
+        return "mono"
+    if (
+        os.environ.get("ISAACGYMENV_TPU_NO_SPLIT", "") != "1"
+        and split_mod.split_ok(model, n)
+    ):
+        return "split"
+    return None
 
 
 @maths.f32_matmul

@@ -68,7 +68,20 @@ LANES = 128
 
 
 def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
-    """True when the fused kernel reproduces engine._substep for this scene.
+    """True when the MONOLITHIC fused kernel fits this scene (structure +
+    VMEM).  Scenes that pass the structural check but not the VMEM check
+    can still run the split two-kernel path (physics/fused_split.py)."""
+    if not fused_structural_ok(model, terrain, body_wrench, num_envs):
+        return False
+    # no Mosaic-valid sublane block within the VMEM budget -> XLA path
+    return _block_s(num_envs, model) is not None
+
+
+def fused_structural_ok(
+    model: SimModel, terrain, body_wrench, num_envs: int
+) -> bool:
+    """True when the fused kernels (monolithic OR split) reproduce
+    engine._substep for this scene, VMEM aside.
 
     Heightfield terrain, per-body external wrenches, per-env friction, AND
     the DR-batched model leaves (body_mass/geom_meff, dof stiffness/damping/
@@ -147,9 +160,6 @@ def fused_ok(model: SimModel, terrain, body_wrench, num_envs: int) -> bool:
     ):
         return False
     if num_envs % LANES != 0:
-        return False
-    # no Mosaic-valid sublane block within the VMEM budget -> XLA path
-    if _block_s(num_envs, model) is None:
         return False
     return True
 
